@@ -1,0 +1,85 @@
+"""Tokenizer / normalizer kernel — byte-identical token semantics to the
+reference pipeline (punctuation → whitespace, lowercase, stop-word + length
+filter, Snowball-english stem), vectorized for Arrow batches.
+
+Reference semantics:
+  punctuation tables   /root/reference/src/normalizer/PunctuationRemover.cpp:17-33
+  whitespace split     /root/reference/src/normalizer/WordNormalizer.cpp:52
+                       (istream >>: space \\t \\n \\v \\f \\r)
+  ascii lowercase      /root/reference/src/normalizer/WordNormalizer.cpp:58
+  stop/len filter      /root/reference/src/normalizer/WordNormalizer.cpp:62-65
+                       (pre-stem, lowercased; len cap 240)
+  stem AFTER filter    /root/reference/src/normalizer/WordNormalizer.cpp:68-73
+
+The latin1 fix (FIX_MSMARCO_LATIN1) is OFF for the code corpus — it is OFF
+by default in the reference build too (/root/reference/CMakeLists.txt:30).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterable
+
+from searchenginepp_spark.config import MAX_TOKEN_LEN
+from searchenginepp_spark.functions.porter2 import MemoStemmer
+from searchenginepp_spark.functions.stop_words import stop_words
+
+# The three reference punctuation tables (1-, 2-, 3-byte UTF-8), as one
+# codepoint class. PunctuationRemover.cpp:17-33.
+PUNCT_1B = ",.:;-_\"!\n\t#%&*/?@\\()[]{}|=^$'"
+PUNCT_2B = "«»՚՛՜՝՞՟։؉؊¿·¶§¡£"
+PUNCT_3B = (
+    "‐‑‒–—―⸗⸺⸻⹀〜‟〰゠︱︲﹘﹣－‘’‛“”⸚‹›„‚⁅⁆〈〉⌈⌉⌊⌋＿"
+)
+PUNCT_ALL = PUNCT_1B + PUNCT_2B + PUNCT_3B
+
+_PUNCT_RE = re.compile("[" + re.escape(PUNCT_ALL) + "]")
+# istream>> whitespace set (C locale): space \t \n \v \f \r
+_WS_SPLIT_RE = re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+# Same class escaped for Spark's JVM regexp_replace / DuckDB regexp_replace.
+SQL_PUNCT_CLASS = "[" + re.sub(r"([\\\]\[^$.|?*+(){}-])", r"\\\1", PUNCT_ALL) + "]"
+
+
+def remove_punctuation(text: str, utf8_width_spaces: bool = False) -> str:
+    """Replace every punctuation codepoint with space(s).
+
+    The reference replaces each codepoint with as many spaces as its UTF-8
+    byte width (PunctuationRemover.cpp:152), preserving byte length; for
+    tokenization (whitespace split) single spaces are equivalent.  Pass
+    ``utf8_width_spaces=True`` for the byte-length-preserving variant used by
+    the golden test (tests/test_normalizer.cpp:6-16).
+    """
+    if utf8_width_spaces:
+        return _PUNCT_RE.sub(lambda m: " " * len(m.group(0).encode("utf-8")), text)
+    return _PUNCT_RE.sub(" ", text)
+
+
+def tokenize(text: str, stemmer: MemoStemmer | None = None,
+             stem: bool = True) -> list[str]:
+    """Full reference pipeline for one document → list of index terms."""
+    sw = stop_words()
+    st = stemmer if stemmer is not None else MemoStemmer()
+    out: list[str] = []
+    for tok in _WS_SPLIT_RE.split(remove_punctuation(text)):
+        if not tok:
+            continue
+        tok = tok.lower()
+        if len(tok) > MAX_TOKEN_LEN or tok in sw:
+            continue
+        out.append(st(tok) if stem else tok)
+    return out
+
+
+def term_frequencies(text: str, stemmer: MemoStemmer | None = None,
+                     stem: bool = True) -> Counter[str]:
+    """Per-document term→tf map (reference builder.cpp:56-66)."""
+    return Counter(tokenize(text, stemmer, stem))
+
+
+def tokenize_batch(texts: Iterable[str], stem: bool = True) -> list[list[str]]:
+    """Vectorized entry point for pandas/Arrow UDFs — one shared memo
+    stemmer per batch."""
+    st = MemoStemmer()
+    return [tokenize(t if t is not None else "", st, stem) for t in texts]

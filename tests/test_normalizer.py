@@ -1,0 +1,81 @@
+"""Tokenizer parity goldens, ported from
+/root/reference/tests/test_normalizer.cpp (stemmer-ON CI config; latin1 fix
+not applicable to the code corpus)."""
+
+from searchenginepp_spark.functions.normalizer import (
+    remove_punctuation,
+    term_frequencies,
+    tokenize,
+)
+from searchenginepp_spark.functions.stop_words import stop_words
+
+TWINKLE = (
+    "Twinkle, twinkle, little bat! "
+    "How I wonder what you're at! "
+    "Up above the world you fly, "
+    "Like a tea-tray in the sky."
+)
+
+
+def test_punctuation_golden_bytes():
+    # tests/test_normalizer.cpp:6-16 — same-byte-width spaces
+    original = (
+        "Ei fu. Siccome immobile,, dato il mortal sospiro ¶ paragrafo "
+        "⸻ inciso lungo ⸻ fine."
+    )
+    expected = (
+        "Ei fu  Siccome immobile   dato il mortal sospiro    paragrafo "
+        "    inciso lungo     fine "
+    )
+    got = remove_punctuation(original, utf8_width_spaces=True)
+    assert len(got.encode("utf-8")) == len(original.encode("utf-8"))
+    assert got == expected
+
+
+def test_twinkle_golden_stemmed():
+    # tests/test_normalizer.cpp:19-50, SEARCHENGINECPP_STEMMER_ENABLE branch
+    assert tokenize(TWINKLE) == [
+        "twinkl", "twinkl", "littl", "bat", "wonder",
+        "world", "like", "tea", "tray", "sky",
+    ]
+
+
+def test_twinkle_golden_unstemmed():
+    # tests/test_normalizer.cpp:29-33 branch — but stop-word filtering in the
+    # reference only runs when the stemmer is compiled in; our stem=False
+    # keeps the filter (we never ship a filterless config), so compare the
+    # filtered subset.
+    toks = tokenize(TWINKLE, stem=False)
+    assert toks == [
+        "twinkle", "twinkle", "little", "bat", "wonder",
+        "world", "like", "tea", "tray", "sky",
+    ]
+
+
+def test_stop_words_exact_list():
+    sw = stop_words()
+    assert len(sw) == 1155
+    assert "fly" in sw  # stop_words.cpp:95 deliberate addition
+    assert "the" in sw and "you're" in sw and "a's" in sw
+    for keep in ("twinkle", "little", "wonder", "world"):
+        assert keep not in sw  # commented out in the reference
+
+
+def test_token_length_cap():
+    long_tok = "x" * 241
+    ok_tok = "y" * 240
+    assert tokenize(f"{long_tok} {ok_tok}", stem=False) == [ok_tok]
+
+
+def test_term_frequencies():
+    tf = term_frequencies(TWINKLE)
+    assert tf["twinkl"] == 2
+    assert tf["sky"] == 1
+    assert sum(tf.values()) == 10
+
+
+def test_apostrophe_split():
+    # "'" is punctuation → "you're" → you + re, both stop words
+    assert tokenize("you're", stem=False) == []
+    # don / t are both stop words; "don't" vanishes entirely
+    assert tokenize("don't twinkle", stem=False) == ["twinkle"]
