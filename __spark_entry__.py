@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship stemmed BM25 top-k over sf0.001.
+`queries()` exposes the operator inventory (SURVEY.md §2) over the driver's
+parquet tables; `oracle_sql()` carries the matching DuckDB SQL.  Stemmed /
+compressed-index / streaming paths are not SQL-expressible and get
+rows-only checks (no oracle entry); their rank-identity is pinned by
+tests/ against the brute-force oracle instead.
 """
 
 from __future__ import annotations
@@ -12,27 +13,133 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchenginepp_spark import oracle_sql as osql
+from searchenginepp_spark.oracle_sql import QUERY_SET, ROUND, TOP_K
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: stemmed BM25 disjunctive top-k over sf0.001 documents."""
+    from searchenginepp_spark.operators.query import search_corpus
+
+    return search_corpus(spark, _docs(spark, SF_DEFAULT), QUERY_SET,
+                         k=TOP_K, scorer="bm25", stem=True)
+
+
+# ---------------------------------------------------------------- queries
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginepp_spark.operators.index_build import tokenize_corpus
+
+    return tokenize_corpus(_docs(spark, sf_dir), stem=False)
+
+
+def q_postings_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginepp_spark.operators.index_build import build_postings
+
+    return build_postings(_tokenized(spark, sf_dir)).select("term", "docid", "tf")
+
+
+def q_docmap_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokenized(spark, sf_dir).select("docid", "doclen")
+
+
+def q_global_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchenginepp_spark.operators.index_build import (
+        build_global_lexicon, build_postings,
+    )
+
+    return build_global_lexicon(build_postings(_tokenized(spark, sf_dir)))
+
+
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokenized(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doclen").alias("sum_doclen"),
+    )
+
+
+def _topk(spark: SparkSession, sf_dir: str, scorer: str,
+          conjunctive: bool, stem: bool = False) -> DataFrame:
+    from searchenginepp_spark.operators.query import search_corpus
+
+    return search_corpus(spark, _docs(spark, sf_dir), QUERY_SET, k=TOP_K,
+                         scorer=scorer, conjunctive=conjunctive, stem=stem,
+                         round_to=ROUND)
+
+
+def q_bm25_disj(spark, sf_dir):
+    return _topk(spark, sf_dir, "bm25", conjunctive=False)
+
+
+def q_bm25_conj(spark, sf_dir):
+    return _topk(spark, sf_dir, "bm25", conjunctive=True)
+
+
+def q_tfidf_disj(spark, sf_dir):
+    return _topk(spark, sf_dir, "tfidf", conjunctive=False)
+
+
+def q_bm25_stemmed(spark, sf_dir):
+    """Flagship stemmed path — rows-only check (stemming ∉ SQL)."""
+    return _topk(spark, sf_dir, "bm25", conjunctive=False, stem=True)
+
+
+def q_bm25_compressed_index(spark, sf_dir):
+    """Full persisted-index path: build → compress → sigma/skip → search.
+    Rank-identical to q_bm25_disj, so it shares that oracle SQL."""
+    import tempfile
+
+    from searchenginepp_spark.operators.index_build import build_index
+    from searchenginepp_spark.operators.query import search
+    from searchenginepp_spark.sources.corpus import load_corpus
+
+    corpus = load_corpus(spark, f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="sepp_index_")
+    build_index(spark, corpus, root, stem=False, salt_target=4096)
+    res = search(spark, root, QUERY_SET, k=TOP_K, scorer="bm25", stem=False)
+    # docid back from docno (docno = repo:path@commit built from doc_id)
+    return res.select(
+        "qid",
+        F.regexp_extract("docno", r"doc(\d+)\.txt", 1).cast("long").alias("docid"),
+        "rank", "score",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "postings_tf": q_postings_tf,
+        "docmap_doclen": q_docmap_doclen,
+        "global_lexicon": q_global_lexicon,
+        "collection_stats": q_collection_stats,
+        "bm25_topk_disjunctive": q_bm25_disj,
+        "bm25_topk_conjunctive": q_bm25_conj,
+        "tfidf_topk_disjunctive": q_tfidf_disj,
+        "bm25_topk_stemmed": q_bm25_stemmed,
+        "bm25_topk_compressed_index": q_bm25_compressed_index,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    topk_bm25 = osql.sql_topk("bm25", conjunctive=False)
+    return {
+        "postings_tf": osql.sql_postings_tf(),
+        "docmap_doclen": osql.sql_docmap_doclen(),
+        "global_lexicon": osql.sql_global_lexicon(),
+        "collection_stats": osql.sql_collection_stats(),
+        "bm25_topk_disjunctive": topk_bm25,
+        "bm25_topk_conjunctive": osql.sql_topk("bm25", conjunctive=True),
+        "tfidf_topk_disjunctive": osql.sql_topk("tfidf", conjunctive=False),
+        # bm25_topk_stemmed: rows-only (stemming not SQL-expressible)
+        "bm25_topk_compressed_index": topk_bm25,
+    }

@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale training-data pipelines —
+exact, n-gram Jaccard, MinHash+LSH, SimHash.  All are pure DataFrame
+compositions (JVM-side, whole-stage codegen; no Python UDFs), so they scale
+with ordinary shuffle tuning and every one has a DuckDB-expressible oracle.
+
+Token stream for dedup = non-empty lowercase punctuation-split tokens
+(NO stopword/stem — dedup must see the document verbatim, unlike the index
+pipeline; same punctuation table as the reference normalizer).
+
+Scale notes (100 TB):
+  * exact: one groupBy on sha256 — trivially scalable.
+  * n-gram Jaccard: the shingle self-join explodes on common shingles; the
+    `max_shingle_df` cap drops ubiquitous shingles before the join (standard
+    practice). For web scale prefer minhash_lsh_candidates.
+  * MinHash/LSH: signatures are a single groupBy over (docid, shingle) with
+    NUM_PERM min-aggregates (map-side partial agg); banding joins are
+    equi-joins on (band, bucket) — shuffle-bounded by collisions only.
+  * SimHash: one groupBy (docid, bit) then (docid) — linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from searchenginepp_spark.functions.normalizer import SQL_PUNCT_CLASS
+
+# MinHash parameters (shared with the SQL oracle via oracle_sql.py)
+MINHASH_PRIME = (1 << 31) - 1          # Mersenne prime 2^31-1
+NUM_PERM = 16
+LSH_BANDS = 4                          # 4 bands × 4 rows
+LSH_ROWS = NUM_PERM // LSH_BANDS
+SIMHASH_BITS = 48                      # ≤ the 60 bits of the term hash; sum fits int64
+
+
+def minhash_coeffs(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — odd multipliers derived from a fixed
+    integer recurrence (same constants in the SQL oracle)."""
+    coeffs = []
+    a, b = 0x9E3779B1, 0x85EBCA77
+    for _ in range(num_perm):
+        a = (a * 0x27D4EB2F + 0x165667B1) % MINHASH_PRIME
+        b = (b * 0x27D4EB2F + 0x9E3779B1) % MINHASH_PRIME
+        coeffs.append((a | 1, b))
+    return coeffs
+
+
+def raw_tokens(docs: DataFrame) -> Column:
+    """array<string> of non-empty lowercase tokens, order preserved."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("content"), SQL_PUNCT_CLASS, " ")),
+                "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != "",
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(content_md5, n_dups, canonical_docid) per distinct content —
+    hash-groupBy exact dedup. canonical = min docid."""
+    return (
+        docs.groupBy(F.md5("content").alias("content_md5"))
+        .agg(F.count("*").alias("n_dups"),
+             F.min("docid").alias("canonical_docid"))
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(docid, shingle) DISTINCT word n-grams."""
+    toks = raw_tokens(docs)
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("docid", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """(docid_a, docid_b, jaccard) for pairs with Jaccard ≥ threshold over
+    distinct n-gram shingle sets."""
+    sh = doc_shingles(docs, n)
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("shingle").count()
+                .filter(F.col("count") <= max_shingle_df).select("shingle"))
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("docid").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.docid") < F.col("b.docid")))
+        .groupBy(F.col("a.docid").alias("docid_a"),
+                 F.col("b.docid").alias("docid_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("docid", "docid_a")
+              .withColumnRenamed("sz", "sz_a"), "docid_a")
+        .join(sizes.withColumnRenamed("docid", "docid_b")
+              .withColumnRenamed("sz", "sz_b"), "docid_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter")
+                            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("docid_a", "docid_b", "jaccard")
+    )
+
+
+def _shingle_hash(col: Column) -> Column:
+    """28-bit integer hash of a shingle from its md5 hex prefix — identical
+    arithmetic in the DuckDB oracle ('0x'||substr(md5(s),1,7))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       num_perm: int = NUM_PERM) -> DataFrame:
+    """(docid, mh0..mh{num_perm-1}) — one groupBy with num_perm min-aggs
+    (map-side combinable, no per-row Python)."""
+    sh = doc_shingles(docs, n).withColumn("h", _shingle_hash(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
+        .alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_perm))
+    ]
+    return sh.groupBy("docid").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3,
+                           num_perm: int = NUM_PERM,
+                           bands: int = LSH_BANDS) -> DataFrame:
+    """(docid_a, docid_b) candidate near-dup pairs sharing ≥1 LSH band
+    bucket (band hash = md5 of the band's concatenated minhashes)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, n, num_perm)
+    band_cols = []
+    for bidx in range(bands):
+        cols = [F.col(f"mh{bidx * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band"),
+                     F.md5(F.concat_ws(":", *[c.cast("string") for c in cols]))
+                     .alias("bucket"))
+        )
+    buckets = sig.select(
+        "docid", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("docid", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.docid") < F.col("b.docid")))
+        .select(F.col("a.docid").alias("docid_a"),
+                F.col("b.docid").alias("docid_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(docid, simhash) — tf-weighted SimHash over raw tokens, bit b of the
+    64-bit-ish fingerprint set when Σ tf·(±1 from term-hash bit b) > 0."""
+    toks = raw_tokens(docs)
+    tf = (
+        docs.select("docid", F.explode(toks).alias("term"))
+        .groupBy("docid", "term").agg(F.count("*").alias("tf"))
+        .withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
+                    .cast("long"))
+    )
+    bitted = (
+        tf.select("docid", "tf", "h",
+                  F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
+        # variable-distance shifts need the SQL form (F.shiftright takes a
+        # literal only)
+        .withColumn("contrib",
+                    F.expr("tf * ((shiftright(h, b) & 1) * 2 - 1)"))
+    )
+    return (
+        bitted.groupBy("docid", "b").agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", (F.col("s") > 0).cast("long"))
+        .groupBy("docid")
+        .agg(F.sum(F.expr("shiftleft(bit, b)")).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """(docid_a, docid_b, hamming) pairs with SimHash Hamming distance ≤
+    max_hamming. Pairing via 4-block bucketing (a pair within distance 3
+    must agree on ≥1 of 4 blocks) then exact distance check — avoids the
+    full cross join."""
+    sh = simhash(docs, bits)
+    block_sz = bits // 4
+    blocks = sh.select(
+        "docid", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * block_sz)
+                .bitwiseAND(F.lit((1 << block_sz) - 1)).alias("val"))
+            for i in range(4)
+        ])).alias("bb"),
+    ).select("docid", "simhash", F.col("bb.blk").alias("blk"),
+             F.col("bb.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.docid") < F.col("b.docid")))
+        .select(F.col("a.docid").alias("docid_a"),
+                F.col("b.docid").alias("docid_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("docid_a", "docid_b", "hamming")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline; dot products via
+  zip_with/aggregate (JVM higher-order functions, no Python).
+* random-hyperplane LSH — the scale path: 16 deterministic pseudo-random
+  ±1 hyperplanes (md5-parity derived, reproducible in SQL) → bucket join,
+  exact re-rank inside buckets only.
+
+At 100 TB the brute-force path is O(Q·N) dot products — fine when Q is a
+broadcastable query set; the LSH path cuts N to the colliding buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+
+
+def _emb(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    e = _emb(col)
+    return df.withColumn("norm", F.sqrt(_dot(e, e)))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                round_to: int = 6) -> DataFrame:
+    """(query_id, vec_id, rank, cosine) — exact brute-force top-k cosine
+    neighbors of each query vector (self excluded).
+
+    Plan: broadcast the Q query rows, one pass over N candidates, window
+    top-k per query — no N×N blow-up.
+    """
+    base = with_norm(embeddings).select(
+        F.col("vec_id"), _emb().alias("e"), "norm")
+    q = (base.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe"), F.col("norm").alias("qnorm")))
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(_dot(F.col("e"), F.col("qe"))
+                            / (F.col("norm") * F.col("qnorm")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def plane_signs(n_planes: int, dims: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: sign(i,j) = +1 if the first
+    md5 hex digit of "i:j" is even else -1 — reproducible in any engine."""
+    return [
+        [1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+         else -1 for j in range(dims)]
+        for i in range(n_planes)
+    ]
+
+
+def lsh_buckets(embeddings: DataFrame, dims: int,
+                n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket) — bucket = sign-bit pattern of the hyperplane
+    projections (bit i set iff Σ_j emb[j]·sign_ij > 0)."""
+    signs = plane_signs(n_planes, dims)
+    e = _emb()
+    bucket = None
+    for i, row in enumerate(signs):
+        proj = _dot(e, F.array(*[F.lit(float(s)) for s in row]))
+        bit = (proj > 0).cast("long") * F.lit(1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_ann_topk(embeddings: DataFrame, dims: int, query_ids: list[int],
+                 k: int = 5, n_planes: int = 8, round_to: int = 6) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to candidates in
+    the query's LSH bucket. (Fewer planes → bigger buckets → better recall.)"""
+    buckets = lsh_buckets(embeddings, dims, n_planes)
+    base = with_norm(embeddings).select("vec_id", _emb().alias("e"), "norm")
+    cand = base.join(buckets, "vec_id")
+    q = (cand.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe"), F.col("norm").alias("qnorm"),
+                 F.col("bucket").alias("qbucket")))
+    scored = (
+        cand.join(F.broadcast(q),
+                  (F.col("bucket") == F.col("qbucket"))
+                  & (F.col("vec_id") != F.col("query_id")))
+        .withColumn("cosine",
+                    F.round(_dot(F.col("e"), F.col("qe"))
+                            / (F.col("norm") * F.col("qnorm")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, dims: int,
+                             threshold: float = 0.95,
+                             n_planes: int = 8,
+                             round_to: int = 6) -> DataFrame:
+    """(vec_id_a, vec_id_b, cosine) embedding-cosine near-duplicate pairs,
+    LSH-bucketed to avoid the N² cross join."""
+    buckets = lsh_buckets(embeddings, dims, n_planes)
+    base = with_norm(embeddings).select("vec_id", _emb().alias("e"), "norm") \
+        .join(buckets, "vec_id")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine",
+                    F.round(_dot(F.col("a.e"), F.col("b.e"))
+                            / (F.col("a.norm") * F.col("b.norm")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id_a"),
+                F.col("b.vec_id").alias("vec_id_b"), "cosine")
+    )

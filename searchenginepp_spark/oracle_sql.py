@@ -1,0 +1,177 @@
+"""ANSI-SQL (DuckDB-dialect-compatible) oracle builders.
+
+The driver's correctness gate runs each `__spark_entry__.queries()` entry on
+Spark AND the matching `oracle_sql()` string on DuckDB over the same parquet
+tables, then compares row counts / schemas / value hashes.  These builders
+express the SAME semantics as the engine operators (stem=False — stemming is
+not SQL-expressible; stemmed paths get rows-only checks).
+
+Shared fixed constants (query set, BM25 params, punctuation class, stopword
+list) live here so both sides can't drift.
+"""
+
+from __future__ import annotations
+
+from searchenginepp_spark.config import BM25_B, BM25_K1, MAX_TOKEN_LEN
+from searchenginepp_spark.functions.normalizer import SQL_PUNCT_CLASS
+from searchenginepp_spark.functions.stop_words import stop_words
+
+# the class contains a literal ' — double it for SQL string context
+_PUNCT_SQL = SQL_PUNCT_CLASS.replace("'", "''")
+
+# Fixed reference query set for the driver checks (vocabulary of the
+# synthetic documents table; exercises head terms, dup terms, missing terms,
+# stopword-only).
+QUERY_SET: list[tuple[int, str]] = [
+    (1, "spark query data"),
+    (2, "hash join merge"),
+    (3, "window agg batch"),
+    (4, "stream stream data"),            # repeated term must dedupe
+    (5, "nonexistenttermxyz filter"),     # disjunctive drops missing term
+    (6, "the a and"),                     # stopword-only → empty
+    (7, "vector column row scan"),
+    (8, "customer order line"),
+]
+
+TOP_K = 10
+ROUND = 6
+
+
+def sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def stopword_in_list() -> str:
+    return ", ".join(sql_str(w) for w in sorted(stop_words()))
+
+
+def queries_values() -> str:
+    return ", ".join(f"({qid}, {sql_str(text)})" for qid, text in QUERY_SET)
+
+
+def cte_tokens(src: str = "documents") -> str:
+    """Tokenize (stem=False): punctuation→space, \\s+ split, lower, length
+    cap, stop-word filter. docid := doc_id."""
+    return f"""
+  raw_tokens AS (
+    SELECT doc_id AS docid,
+           unnest(string_split_regex(
+             lower(regexp_replace(text, '{_PUNCT_SQL}', ' ', 'g')),
+             '\\s+')) AS term
+    FROM {src}
+  ),
+  tokens AS (
+    SELECT docid, term FROM raw_tokens
+    WHERE term <> '' AND length(term) <= {MAX_TOKEN_LEN}
+      AND term NOT IN ({stopword_in_list()})
+  ),
+  tf AS (
+    SELECT term, docid, COUNT(*)::BIGINT AS tf
+    FROM tokens GROUP BY term, docid
+  )"""
+
+
+def cte_doclen() -> str:
+    """doclen per doc INCLUDING zero-token docs (document index keeps every
+    ingested doc)."""
+    return """
+  doclen AS (
+    SELECT d.doc_id AS docid,
+           COALESCE(SUM(tf.tf), 0)::BIGINT AS doclen
+    FROM documents d LEFT JOIN tf ON tf.docid = d.doc_id
+    GROUP BY d.doc_id
+  )"""
+
+
+def cte_query_terms() -> str:
+    return f"""
+  qraw AS (
+    SELECT qid,
+           unnest(string_split_regex(
+             lower(regexp_replace(text, '{_PUNCT_SQL}', ' ', 'g')),
+             '\\s+')) AS term
+    FROM (VALUES {queries_values()}) AS q(qid, text)
+  ),
+  qterms AS (
+    SELECT DISTINCT qid, term FROM qraw
+    WHERE term <> '' AND length(term) <= {MAX_TOKEN_LEN}
+      AND term NOT IN ({stopword_in_list()})
+  )"""
+
+
+def sql_postings_tf() -> str:
+    return f"WITH {cte_tokens()} SELECT term, docid, tf FROM tf"
+
+
+def sql_docmap_doclen() -> str:
+    return f"WITH {cte_tokens()}, {cte_doclen()} SELECT docid, doclen FROM doclen"
+
+
+def sql_global_lexicon() -> str:
+    return (f"WITH {cte_tokens()} "
+            "SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term")
+
+
+def sql_collection_stats() -> str:
+    return (f"WITH {cte_tokens()}, {cte_doclen()} "
+            "SELECT COUNT(*)::BIGINT AS n_docs, SUM(doclen)::BIGINT AS sum_doclen "
+            "FROM doclen")
+
+
+def _scored(scorer: str) -> str:
+    if scorer == "bm25":
+        partial = (f"(p.tf / ({BM25_K1} * ((1 - {BM25_B}) + {BM25_B} * "
+                   f"dl.doclen / s.avgdl) + p.tf)) * log2(s.n_docs / l.df)")
+    else:
+        partial = "(1 + log2(p.tf)) * log2(s.n_docs / l.df)"
+    return f"""
+  lex AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+  stats AS (
+    SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT COALESCE(SUM(tf), 0) FROM tf)::DOUBLE
+             / (SELECT COUNT(*) FROM documents) AS avgdl
+  ),
+  scored AS (
+    SELECT q.qid, p.docid,
+           SUM({partial}) AS score_raw,
+           COUNT(*) AS n_matched
+    FROM qterms q
+    JOIN lex l ON l.term = q.term
+    JOIN tf p ON p.term = q.term
+    JOIN doclen dl ON dl.docid = p.docid
+    CROSS JOIN stats s
+    GROUP BY q.qid, p.docid
+  )"""
+
+
+def sql_topk(scorer: str = "bm25", conjunctive: bool = False,
+             k: int = TOP_K) -> str:
+    conj = ""
+    if conjunctive:
+        conj = """
+  n_terms AS (SELECT qid, COUNT(*) AS n FROM qterms GROUP BY qid),
+  n_found AS (
+    SELECT q.qid, COUNT(*) AS n FROM qterms q
+    JOIN lex l ON l.term = q.term GROUP BY q.qid
+  ),
+  eligible AS (
+    SELECT t.qid, t.n FROM n_terms t JOIN n_found f
+    ON f.qid = t.qid AND f.n = t.n
+  ),"""
+        filt = ("JOIN eligible e ON e.qid = scored.qid "
+                "AND scored.n_matched = e.n")
+    else:
+        filt = ""
+    return f"""
+WITH {cte_tokens()}, {cte_doclen()}, {cte_query_terms()}, {_scored(scorer)},{conj}
+  ranked AS (
+    SELECT scored.qid, scored.docid,
+           ROW_NUMBER() OVER (
+             PARTITION BY scored.qid
+             ORDER BY ROUND(scored.score_raw, {ROUND}) DESC, scored.docid ASC
+           ) AS rank,
+           ROUND(scored.score_raw, {ROUND}) AS score
+    FROM scored {filt}
+  )
+SELECT qid, docid, rank::BIGINT AS rank, score FROM ranked WHERE rank <= {k}
+"""

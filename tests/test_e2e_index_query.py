@@ -1,0 +1,143 @@
+"""End-to-end: build a persisted index from the synthetic source-code corpus
+and verify top-k rank identity against the brute-force oracle, plus the
+structural invariants (docids, sha256, salting, skip pointers)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginepp_spark.operators.index_build import IndexPaths, build_index
+from searchenginepp_spark.operators.query import search
+from searchenginepp_spark.sources.corpus import (
+    assign_docids, assign_docids_window, synthesize_corpus, with_content_sha256,
+    with_docno,
+)
+from tests.oracle import BruteForceIndex
+
+N_DOCS = 400
+
+QUERIES = [
+    (1, "sym1 sym2"),
+    (2, "int return"),                  # head terms
+    (3, "twinkle wonder"),              # stemmable english
+    (4, "sym1 sym1"),                   # repeated term must dedupe
+    (5, "nonexistenttermxyz sym3"),     # disjunctive: drop missing term
+    (6, "the and from"),                # stopword-only → empty
+    (7, "fn_1 fn_2 sym5"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    # materialize the same corpus the Spark build sees, for the oracle
+    return None
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index"))
+    corpus = synthesize_corpus(spark, N_DOCS)
+    # salt_target tiny to exercise the salted-shard path on head terms
+    paths = build_index(spark, corpus, root, salt_target=256)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, built):
+    docmap = spark.read.parquet(built.docmap)
+    corpus = synthesize_corpus(spark, N_DOCS)
+    rows = (
+        with_docno(corpus)
+        .join(docmap.select("docid", "docno"), "docno")
+        .select("docid", "docno", "content")
+        .collect()
+    )
+    return BruteForceIndex([(r["docid"], r["docno"], r["content"]) for r in rows])
+
+
+def test_docid_assignment_dense_and_deterministic(spark, built):
+    docmap = spark.read.parquet(built.docmap)
+    ids = [r["docid"] for r in docmap.select("docid").collect()]
+    assert sorted(ids) == list(range(1, N_DOCS + 1))
+    # window and scalable paths agree
+    corpus = with_docno(synthesize_corpus(spark, 100))
+    a = {r["docno"]: r["docid"] for r in assign_docids(corpus).collect()}
+    b = {r["docno"]: r["docid"] for r in assign_docids_window(corpus).collect()}
+    assert a == b
+
+
+def test_content_sha256_invariant(spark, built):
+    """input_hint invariant: sha256 at ingest == sha256 recomputed from the
+    source rows joined back via docno."""
+    docmap = spark.read.parquet(built.docmap)
+    src = with_content_sha256(with_docno(synthesize_corpus(spark, N_DOCS)))
+    joined = docmap.alias("d").join(src.alias("s"), "docno").filter(
+        F.col("d.content_sha256") != F.col("s.content_sha256")
+    )
+    assert joined.count() == 0
+
+
+def test_stats_and_lexicon(spark, built, oracle):
+    stats = spark.read.parquet(built.stats).collect()[0]
+    assert stats["n_docs"] == N_DOCS
+    assert stats["sum_doclen"] == sum(oracle.doclen.values())
+    lex = {r["term"]: r["df"] for r in spark.read.parquet(built.lexicon).collect()}
+    assert lex == {t: len(p) for t, p in oracle.postings.items()}
+
+
+def test_salting_split_head_terms(spark, built):
+    shards = spark.read.parquet(built.shards)
+    per_term = shards.groupBy("term").agg(
+        F.count("*").alias("n_shards"), F.sum("df_shard").alias("df")
+    )
+    multi = per_term.filter(F.col("n_shards") > 1)
+    assert multi.count() > 0, "expected salted head terms with salt_target=256"
+    # no shard exceeds ~target postings by construction
+    assert shards.agg(F.max("df_shard")).collect()[0][0] <= 2 * 256 + 256
+    # shards of one term partition the docid space disjointly
+    bad = (
+        shards.groupBy("term").agg(
+            F.sum("df_shard").alias("total"),
+        )
+    )
+    lex = spark.read.parquet(built.lexicon)
+    mismatch = bad.join(lex, "term").filter(F.col("total") != F.col("df"))
+    assert mismatch.count() == 0
+
+
+def test_skip_pointers_structure(spark, built):
+    shards = spark.read.parquet(built.shards)
+    row = shards.filter(F.col("df_shard") > 1).limit(1).collect()[0]
+    skips = row["skips"]
+    assert len(skips) >= 1
+    assert skips[-1]["last_docid"] == row["last_docid"]
+    assert skips[0]["docid_off"] == 0 and skips[0]["tf_bit_off"] == 0
+    assert row["sigma_bm25"] >= max(s["bm25_ub"] for s in skips) - 1e-12
+    assert row["sigma_bm25"] == pytest.approx(max(s["bm25_ub"] for s in skips))
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "tfidf"])
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_topk_rank_identity(spark, built, oracle, scorer, conjunctive):
+    k = 10
+    res = search(spark, built.root, QUERIES, k=k, scorer=scorer,
+                 conjunctive=conjunctive)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["docid"], r["docno"], r["score"]))
+    for qid, text in QUERIES:
+        expected = oracle.search(text, k=k, scorer=scorer, conjunctive=conjunctive)
+        mine = sorted(got.get(qid, []))
+        assert len(mine) == len(expected), f"q{qid}: row count"
+        for (rank, docid, docno, score), (e_docid, e_docno, e_rank, e_score) in zip(mine, expected):
+            assert (rank, docid, docno) == (e_rank, e_docid, e_docno), f"q{qid} rank {rank}"
+            assert math.isclose(score, e_score, abs_tol=1e-6), f"q{qid} score"
+
+
+def test_empty_and_missing_term_semantics(spark, built, oracle):
+    res = search(spark, built.root, [(6, "the and from")], k=10)
+    assert res.count() == 0  # stopword-only query
+    res = search(spark, built.root, [(5, "nonexistenttermxyz sym3")], k=10,
+                 conjunctive=True)
+    assert res.count() == 0  # conjunctive with missing term → empty
