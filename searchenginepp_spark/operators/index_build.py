@@ -129,6 +129,10 @@ _SHARD_SCHEMA = StructType([
 
 SKIP_FIELD = ArrayType(StructType([
     StructField("last_docid", LongType()),
+    StructField("prev_docid", LongType()),   # last docid of previous block (0
+                                             # for block 0) — delta-gap base so
+                                             # a block decodes standalone
+    StructField("n_postings", LongType()),   # postings in this block
     StructField("docid_off", LongType()),    # byte offset into docid_blob
     StructField("tf_bit_off", LongType()),   # bit offset into tf_blob
     StructField("doclen_off", LongType()),   # byte offset into doclen_blob
@@ -191,7 +195,8 @@ def build_index_shards(postings: DataFrame,
 
 
 def sigma_skip_pass(shards: DataFrame, global_lexicon: DataFrame,
-                    n_docs: int, avgdl: float) -> DataFrame:
+                    n_docs: int, avgdl: float,
+                    block_size: int = SKIP_BLOCK_SIZE) -> DataFrame:
     """Second pass (reference builder.cpp:192-268): per-shard σ upper bounds
     and skip pointers every SKIP_BLOCK_SIZE postings. Map-only — global df
     arrives by a join on term (broadcast when small; Catalyst/AQE decides),
@@ -225,15 +230,17 @@ def sigma_skip_pass(shards: DataFrame, global_lexicon: DataFrame,
                 dl = doclens.astype(np.float64)
                 bm25 = tfs_f / (BM25_K1 * ((1 - BM25_B) + BM25_B * dl / avgdl) + tfs_f) * idf
                 tfidf = (1.0 + np.log2(tfs_f)) * idf
-                starts = np.arange(0, df_shard, SKIP_BLOCK_SIZE)
+                starts = np.arange(0, df_shard, block_size)
                 gaps = delta_encode(docids)
                 d_offs = varbyte_value_offsets(gaps)
                 t_offs = unary_value_bit_offsets(tfs)
                 l_offs = varbyte_value_offsets(doclens)
-                ends = np.minimum(starts + SKIP_BLOCK_SIZE, df_shard) - 1
+                ends = np.minimum(starts + block_size, df_shard) - 1
                 skips_col.append([
                     {
                         "last_docid": int(docids[e]),
+                        "prev_docid": int(docids[s - 1]) if s > 0 else 0,
+                        "n_postings": int(e - s + 1),
                         "docid_off": int(d_offs[s]),
                         "tf_bit_off": int(t_offs[s]),
                         "doclen_off": int(l_offs[s]),
@@ -265,7 +272,8 @@ class IndexPaths:
 def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                 stem: bool = True, scalable_docids: bool = True,
                 salt_target: int = SALT_TARGET_POSTINGS,
-                term_partitions: int | None = None) -> IndexPaths:
+                term_partitions: int | None = None,
+                block_size: int = SKIP_BLOCK_SIZE) -> IndexPaths:
     """Full build: corpus (repo,path,commit,lang,content) → persisted index.
 
     Writes: index_shards (term-sorted for row-group skipping), docmap,
@@ -300,7 +308,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
         try:
             lexicon.write.mode("overwrite").parquet(paths.lexicon)
             lexicon_r = spark.read.parquet(paths.lexicon)
-            final = sigma_skip_pass(shards, lexicon_r, int(n_docs), float(avgdl))
+            final = sigma_skip_pass(shards, lexicon_r, int(n_docs),
+                                    float(avgdl), block_size=block_size)
             # term-sorted layout → parquet min/max stats give term pruning
             (final.repartitionByRange(
                 term_partitions or spark.sparkContext.defaultParallelism,
