@@ -116,6 +116,72 @@ def q_bm25_compressed_index(spark, sf_dir):
     )
 
 
+# ------------------------------------------- training-data pipeline ops
+
+SIM_QUERY_IDS = [0, 1, 2, 3, 4]
+SIM_K = 5
+EMB_DIMS = 64
+NEAR_DUP_COS = 0.45
+NEAR_DUP_PLANES = 3      # loose buckets at this tiny SF so candidates survive
+JACCARD_T = 0.5
+SIMHASH_MAX_HAMMING = 3
+
+
+def _pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from searchenginepp_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_pipeline_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from searchenginepp_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_pipeline_docs(spark, sf_dir),
+                               n=3, threshold=JACCARD_T)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from searchenginepp_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_pipeline_docs(spark, sf_dir), n=3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from searchenginepp_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_pipeline_docs(spark, sf_dir),
+                              max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    from searchenginepp_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_embeddings(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_sim_lsh_ann_topk(spark, sf_dir):
+    from searchenginepp_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_embeddings(spark, sf_dir), EMB_DIMS,
+                        SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_sim_embedding_near_dup(spark, sf_dir):
+    from searchenginepp_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_embeddings(spark, sf_dir), EMB_DIMS,
+                                    threshold=NEAR_DUP_COS,
+                                    n_planes=NEAR_DUP_PLANES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings_tf": q_postings_tf,
@@ -127,12 +193,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_disjunctive": q_tfidf_disj,
         "bm25_topk_stemmed": q_bm25_stemmed,
         "bm25_topk_compressed_index": q_bm25_compressed_index,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
+        "sim_embedding_near_dup": q_sim_embedding_near_dup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from searchenginepp_spark import oracle_sql_pipeline as opipe
+
     topk_bm25 = osql.sql_topk("bm25", conjunctive=False)
-    return {
+    pipeline = {
+        "dedup_exact": opipe.sql_dedup_exact(),
+        "dedup_ngram_jaccard": opipe.sql_ngram_jaccard(n=3, threshold=JACCARD_T),
+        "dedup_minhash_lsh": opipe.sql_minhash_lsh(n=3),
+        "dedup_simhash_pairs": opipe.sql_simhash_pairs(
+            max_hamming=SIMHASH_MAX_HAMMING),
+        "sim_cosine_topk": opipe.sql_cosine_topk(SIM_QUERY_IDS, k=SIM_K),
+        "sim_lsh_ann_topk": opipe.sql_lsh_ann_topk(SIM_QUERY_IDS, EMB_DIMS,
+                                                   k=SIM_K),
+        "sim_embedding_near_dup": opipe.sql_embedding_near_dup(
+            EMB_DIMS, threshold=NEAR_DUP_COS, n_planes=NEAR_DUP_PLANES),
+    }
+    return pipeline | {
         "postings_tf": osql.sql_postings_tf(),
         "docmap_doclen": osql.sql_docmap_doclen(),
         "global_lexicon": osql.sql_global_lexicon(),

@@ -1,0 +1,211 @@
+"""DuckDB oracle SQL for the training-data pipeline operators (dedup,
+similarity search) — mirrors operators/dedup.py and operators/similarity.py
+expression-for-expression so the driver's Spark-vs-DuckDB hash compare is
+meaningful.  Every hash used is md5-hex-prefix based precisely so both
+engines can compute it identically."""
+
+from __future__ import annotations
+
+from searchenginepp_spark.functions.normalizer import SQL_PUNCT_CLASS
+from searchenginepp_spark.operators.dedup import (
+    LSH_BANDS, MINHASH_PRIME, NUM_PERM, SIMHASH_BITS, minhash_coeffs,
+)
+from searchenginepp_spark.operators.similarity import plane_signs
+
+_PUNCT_SQL = SQL_PUNCT_CLASS.replace("'", "''")
+
+
+def cte_raw_tokens(src: str = "documents") -> str:
+    """Ordered, non-empty, lowercase tokens (dedup sees the doc verbatim —
+    no stopword/stem, unlike the index tokenizer)."""
+    return f"""
+  dtoks AS (
+    SELECT doc_id AS docid,
+           list_filter(string_split_regex(
+             lower(regexp_replace(text, '{_PUNCT_SQL}', ' ', 'g')),
+             '\\s+'), t -> t <> '') AS tk
+    FROM {src}
+  )"""
+
+
+def cte_shingles(n: int = 3) -> str:
+    return f"""
+  dsh AS (
+    SELECT DISTINCT docid, array_to_string(tk[i:i+{n - 1}], ' ') AS shingle
+    FROM dtoks, UNNEST(generate_series(1, greatest(len(tk) - {n - 1}, 0))) AS g(i)
+  )"""
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS content_md5,
+       COUNT(*)::BIGINT AS n_dups,
+       MIN(doc_id)::BIGINT AS canonical_docid
+FROM documents GROUP BY 1"""
+
+
+def sql_ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH {cte_raw_tokens()}, {cte_shingles(n)},
+  sz AS (SELECT docid, COUNT(*) AS sz FROM dsh GROUP BY docid),
+  inter AS (
+    SELECT a.docid AS docid_a, b.docid AS docid_b, COUNT(*) AS i
+    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.docid < b.docid
+    GROUP BY 1, 2
+  ),
+  j AS (
+    SELECT docid_a, docid_b,
+           ROUND(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+    FROM inter JOIN sz x ON x.docid = docid_a JOIN sz y ON y.docid = docid_b
+  )
+SELECT docid_a, docid_b, jaccard FROM j WHERE jaccard >= {threshold}"""
+
+
+def sql_minhash_lsh(n: int = 3, num_perm: int = NUM_PERM,
+                    bands: int = LSH_BANDS) -> str:
+    rows = num_perm // bands
+    coeffs = minhash_coeffs(num_perm)
+    mh_cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT docid, {bidx} AS band, md5("
+        + " || ':' || ".join(f"mh{bidx * rows + r}::VARCHAR" for r in range(rows))
+        + ") AS bucket FROM mh"
+        for bidx in range(bands)
+    )
+    return f"""
+WITH {cte_raw_tokens()}, {cte_shingles(n)},
+  hashed AS (
+    SELECT docid, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM dsh
+  ),
+  mh AS (SELECT docid, {mh_cols} FROM hashed GROUP BY docid),
+  buckets AS ({band_selects})
+SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.docid < b.docid"""
+
+
+def sql_simhash_pairs(max_hamming: int = 8, bits: int = SIMHASH_BITS) -> str:
+    block_sz = bits // 4
+    mask = (1 << block_sz) - 1
+    return f"""
+WITH {cte_raw_tokens()},
+  tfd AS (
+    SELECT docid, t AS term, COUNT(*)::BIGINT AS tf
+    FROM (SELECT docid, UNNEST(tk) AS t FROM dtoks) GROUP BY 1, 2
+  ),
+  th AS (
+    SELECT docid, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tfd
+  ),
+  bitsum AS (
+    SELECT docid, b, SUM(tf * (((h >> b) & 1) * 2 - 1)) AS s
+    FROM th, UNNEST(generate_series(0, {bits - 1})) AS g(b) GROUP BY 1, 2
+  ),
+  sh AS (
+    SELECT docid,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+    FROM bitsum GROUP BY docid
+  ),
+  blocks AS (
+    SELECT docid, simhash, blk, (simhash >> (blk * {block_sz})) & {mask} AS val
+    FROM sh, UNNEST([0, 1, 2, 3]) AS q(blk)
+  ),
+  cand AS (
+    SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.val = b.val AND a.docid < b.docid
+  )
+SELECT docid_a, docid_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _ids_in(ids: list[int]) -> str:
+    return ", ".join(str(i) for i in ids)
+
+
+def sql_cosine_topk(query_ids: list[int], k: int = 5) -> str:
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+  ),
+  q AS (
+    SELECT vec_id AS query_id, e AS qe, norm AS qnorm FROM base
+    WHERE vec_id IN ({_ids_in(query_ids)})
+  ),
+  scored AS (
+    SELECT q.query_id, base.vec_id,
+           ROUND(list_dot_product(base.e, q.qe) / (base.norm * q.qnorm), 6) AS cosine
+    FROM base JOIN q ON base.vec_id <> q.query_id
+  ),
+  ranked AS (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank,
+           cosine
+    FROM scored
+  )
+SELECT query_id, vec_id, rank::BIGINT AS rank, cosine FROM ranked
+WHERE rank <= {k}"""
+
+
+def _plane_array_sql(signs: list[int]) -> str:
+    return "[" + ", ".join(f"{s:.1f}" for s in signs) + "]::DOUBLE[]"
+
+
+def cte_lsh_buckets(dims: int, n_planes: int) -> str:
+    """bucket = Σ_i (proj_i > 0) << i with the SAME deterministic ±1 planes
+    as similarity.plane_signs, inlined as literals."""
+    signs = plane_signs(n_planes, dims)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_plane_array_sql(row)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(signs)
+    )
+    return f"""
+  base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+  ),
+  bucketed AS (SELECT vec_id, e, norm, ({bits})::BIGINT AS bucket FROM base)"""
+
+
+def sql_lsh_ann_topk(query_ids: list[int], dims: int, k: int = 5,
+                     n_planes: int = 8) -> str:
+    return f"""
+WITH {cte_lsh_buckets(dims, n_planes)},
+  q AS (
+    SELECT vec_id AS query_id, e AS qe, norm AS qnorm, bucket AS qbucket
+    FROM bucketed WHERE vec_id IN ({_ids_in(query_ids)})
+  ),
+  scored AS (
+    SELECT q.query_id, c.vec_id,
+           ROUND(list_dot_product(c.e, q.qe) / (c.norm * q.qnorm), 6) AS cosine
+    FROM bucketed c JOIN q
+      ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+  ),
+  ranked AS (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank,
+           cosine
+    FROM scored
+  )
+SELECT query_id, vec_id, rank::BIGINT AS rank, cosine FROM ranked
+WHERE rank <= {k}"""
+
+
+def sql_embedding_near_dup(dims: int, threshold: float = 0.45,
+                           n_planes: int = 8) -> str:
+    return f"""
+WITH {cte_lsh_buckets(dims, n_planes)}
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= {threshold}"""
