@@ -182,6 +182,30 @@ def q_sim_embedding_near_dup(spark, sf_dir):
                                     n_planes=NEAR_DUP_PLANES)
 
 
+def q_text_token_counts(spark, sf_dir):
+    from searchenginepp_spark.operators.text_analysis import token_counts
+
+    return token_counts(_pipeline_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from searchenginepp_spark.operators.text_analysis import quality_scores
+
+    return quality_scores(_pipeline_docs(spark, sf_dir))
+
+
+def q_text_language_id(spark, sf_dir):
+    from searchenginepp_spark.operators.text_analysis import language_id
+
+    return language_id(_pipeline_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from searchenginepp_spark.operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(_pipeline_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings_tf": q_postings_tf,
@@ -200,6 +224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
+        "text_token_counts": q_text_token_counts,
+        "text_quality_scores": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_doc_fingerprint": q_text_fingerprint,
     }
 
 
@@ -218,6 +246,10 @@ def oracle_sql() -> dict[str, str]:
                                                    k=SIM_K),
         "sim_embedding_near_dup": opipe.sql_embedding_near_dup(
             EMB_DIMS, threshold=NEAR_DUP_COS, n_planes=NEAR_DUP_PLANES),
+        "text_token_counts": opipe.sql_token_counts(),
+        "text_quality_scores": opipe.sql_quality_scores(),
+        "text_language_id": opipe.sql_language_id(),
+        "text_doc_fingerprint": opipe.sql_doc_fingerprint(),
     }
     return pipeline | {
         "postings_tf": osql.sql_postings_tf(),

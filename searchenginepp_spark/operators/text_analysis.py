@@ -1,0 +1,149 @@
+"""Text-analysis operators for training-data pipelines — language-ID
+(marker-n-gram heuristic), quality scoring (char/token-ratio features),
+token counting (whitespace + BPE-ish regex), and document fingerprinting
+(content-sampled k-gram hashes, winnowing-style).
+
+All four are pure JVM DataFrame expressions (whole-stage codegen, no Python
+in the hot path) and every hash/regex was chosen to be reproducible in
+DuckDB for the driver's oracle compare.
+
+Scale notes (100 TB):
+  * token_counts / quality_scores / language_id are embarrassingly parallel
+    map-only scans — no shuffle at all except quality's per-doc token agg.
+  * doc_fingerprint explodes one row per k-gram position; at cluster scale
+    swap the explode for a mapInPandas rolling-hash kernel (same mod-sampled
+    selection, one pass per doc, no row blow-up) — semantics identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchenginepp_spark.functions.normalizer import SQL_PUNCT_CLASS
+from searchenginepp_spark.functions.stop_words import stop_words
+
+# BPE-ish pre-tokenizer: alpha runs, digit runs, single non-alnum marks
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# marker unigrams per language (word-boundary matches on lowercased text);
+# tiny on purpose — the heuristic, not a model.  Deterministic tie-break:
+# highest score wins, ties prefer the lexicographically LAST lang code,
+# all-zero → 'und'.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "las", "una", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+FP_GRAM_LEN = 8      # fingerprint k-gram length (chars)
+FP_MOD = 8           # keep grams whose 28-bit hash ≡ 0 (mod FP_MOD)
+
+
+def _ws_tokens(col):
+    return F.filter(F.split(col, "\\s+"), lambda t: t != "")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(docid, n_chars, n_ws_tokens, n_bpe_tokens)."""
+    return docs.select(
+        "docid",
+        F.length("content").cast("long").alias("n_chars"),
+        F.size(_ws_tokens(F.col("content"))).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("content", F.lit(BPE_REGEX)).cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(docid, n_ws_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+    avg_token_len, quality) — cheap length/punctuation/stopword features and
+    a fixed linear quality blend (weights are part of the contract)."""
+    base = docs.select(
+        "docid",
+        F.length("content").cast("double").alias("n_chars"),
+        (F.length("content")
+         - F.length(F.regexp_replace("content", "[A-Za-z]", "")))
+        .cast("double").alias("n_alpha"),
+        (F.length("content")
+         - F.length(F.regexp_replace("content", SQL_PUNCT_CLASS, "")))
+        .cast("double").alias("n_punct"),
+        F.explode_outer(_ws_tokens(F.lower(F.col("content")))).alias("tok"),
+    )
+    sw = sorted(stop_words())
+    agg = base.groupBy("docid", "n_chars", "n_alpha", "n_punct").agg(
+        F.count("tok").cast("long").alias("n_ws_tokens"),
+        F.coalesce(F.sum(F.col("tok").isin(sw).cast("long")), F.lit(0))
+        .alias("n_stop"),
+        F.coalesce(F.sum(F.length("tok")), F.lit(0)).cast("double")
+        .alias("tok_chars"),
+    )
+    ratio = lambda num, den: F.round(num / F.greatest(den, F.lit(1.0)), 6)  # noqa: E731
+    return agg.select(
+        "docid", "n_ws_tokens",
+        ratio(F.col("n_alpha"), F.col("n_chars")).alias("alpha_ratio"),
+        ratio(F.col("n_punct"), F.col("n_chars")).alias("punct_ratio"),
+        ratio(F.col("n_stop").cast("double"),
+              F.col("n_ws_tokens").cast("double")).alias("stopword_ratio"),
+        ratio(F.col("tok_chars"),
+              F.col("n_ws_tokens").cast("double")).alias("avg_token_len"),
+    ).withColumn(
+        "quality",
+        F.round(F.lit(0.4) * F.col("alpha_ratio")
+                + F.lit(0.3) * (F.lit(1.0) - F.col("stopword_ratio"))
+                + F.lit(0.3) * F.least(F.col("n_ws_tokens") / F.lit(100.0),
+                                       F.lit(1.0)), 6),
+    )
+
+
+def language_id(docs: DataFrame,
+                markers: dict[str, list[str]] | None = None) -> DataFrame:
+    """(docid, lang_pred, lang_score) — marker-word-count language ID."""
+    markers = markers or LANG_MARKERS
+    lowered = F.lower(F.col("content"))
+    scores = [
+        F.struct(
+            sum(F.regexp_count(lowered, F.lit(rf"\b{w}\b"))
+                for w in words).cast("long").alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(markers.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        "docid",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, k: int = FP_GRAM_LEN,
+                    mod: int = FP_MOD) -> DataFrame:
+    """(docid, n_grams, n_selected, fingerprint) — content-defined sampling
+    of character k-grams: keep grams whose 28-bit md5-prefix hash ≡ 0
+    (mod `mod`); the doc fingerprint is the md5 of the sorted distinct
+    selected hashes.  Mod-sampling (the winnowing family) keeps selection
+    position-independent, so shared substrings of two docs select the SAME
+    grams — the property plagiarism/overlap detection needs."""
+    lowered = F.lower(F.col("content"))
+    n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(0))
+    grams = docs.select(
+        "docid",
+        n_grams.cast("long").alias("n_grams"),
+        F.explode_outer(
+            F.when(n_grams > 0,
+                   F.transform(F.sequence(F.lit(1), n_grams),
+                               lambda i: F.substring(lowered, i, k)))
+            .otherwise(F.array())
+        ).alias("gram"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long"))
+    sel = F.when(F.col("h") % mod == 0, F.col("h"))
+    return grams.groupBy("docid", "n_grams").agg(
+        F.count_distinct(sel).cast("long").alias("n_selected"),
+        F.md5(F.concat_ws(":", F.transform(
+            F.sort_array(F.collect_set(sel)),
+            lambda x: x.cast("string")))).alias("fingerprint"),
+    ).select("docid", "n_grams", "n_selected", "fingerprint")

@@ -200,6 +200,110 @@ SELECT query_id, vec_id, rank::BIGINT AS rank, cosine FROM ranked
 WHERE rank <= {k}"""
 
 
+# -------------------------------------------------- text analysis oracles
+
+def sql_token_counts() -> str:
+    from searchenginepp_spark.operators.text_analysis import BPE_REGEX
+
+    return f"""
+SELECT doc_id AS docid,
+       length(text)::BIGINT AS n_chars,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT
+         AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_REGEX}'))::BIGINT AS n_bpe_tokens
+FROM documents"""
+
+
+def sql_quality_scores() -> str:
+    from searchenginepp_spark.oracle_sql import stopword_in_list
+
+    return f"""
+WITH base AS (
+    SELECT doc_id AS docid,
+           length(text)::DOUBLE AS n_chars,
+           (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+             AS n_alpha,
+           (length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')))::DOUBLE
+             AS n_punct,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+    FROM documents
+  ),
+  toks AS (SELECT docid, UNNEST(tk) AS tok FROM base),
+  tagg AS (
+    SELECT docid, COUNT(*)::BIGINT AS n_ws_tokens,
+           SUM(CASE WHEN tok IN ({stopword_in_list()}) THEN 1 ELSE 0 END)::BIGINT
+             AS n_stop,
+           SUM(length(tok))::DOUBLE AS tok_chars
+    FROM toks GROUP BY docid
+  ),
+  j AS (
+    SELECT b.docid, b.n_chars, b.n_alpha, b.n_punct,
+           COALESCE(t.n_ws_tokens, 0) AS n_ws_tokens,
+           COALESCE(t.n_stop, 0) AS n_stop,
+           COALESCE(t.tok_chars, 0.0) AS tok_chars
+    FROM base b LEFT JOIN tagg t ON t.docid = b.docid
+  ),
+  r AS (
+    SELECT docid, n_ws_tokens,
+           ROUND(n_alpha / greatest(n_chars, 1.0), 6) AS alpha_ratio,
+           ROUND(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+           ROUND(n_stop / greatest(n_ws_tokens::DOUBLE, 1.0), 6) AS stopword_ratio,
+           ROUND(tok_chars / greatest(n_ws_tokens::DOUBLE, 1.0), 6) AS avg_token_len
+    FROM j
+  )
+SELECT docid, n_ws_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+       avg_token_len,
+       ROUND(0.4 * alpha_ratio + 0.3 * (1.0 - stopword_ratio)
+             + 0.3 * least(n_ws_tokens / 100.0, 1.0), 6) AS quality
+FROM r"""
+
+
+def sql_language_id() -> str:
+    from searchenginepp_spark.operators.text_analysis import LANG_MARKERS
+
+    score_rows = " UNION ALL ".join(
+        "SELECT doc_id AS docid, '" + lang + "' AS lang, ("
+        + " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in words)
+        + ")::BIGINT AS score FROM documents"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH scores AS ({score_rows}),
+  ranked AS (
+    SELECT docid, lang, score,
+           ROW_NUMBER() OVER (PARTITION BY docid
+                              ORDER BY score DESC, lang DESC) AS rn
+    FROM scores
+  )
+SELECT docid,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       score AS lang_score
+FROM ranked WHERE rn = 1"""
+
+
+def sql_doc_fingerprint(k: int = 8, mod: int = 8) -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id AS docid, lower(text) AS lt,
+           greatest(length(text) - {k - 1}, 0)::BIGINT AS n_grams
+    FROM documents
+  ),
+  grams AS (
+    SELECT docid, ('0x' || substr(md5(substr(lt, i, {k})), 1, 7))::BIGINT AS h
+    FROM base, UNNEST(generate_series(1, n_grams)) AS g(i)
+  ),
+  sel AS (
+    SELECT docid, list_sort(list(DISTINCT h)) AS hs, COUNT(DISTINCT h)::BIGINT AS n_selected
+    FROM grams WHERE h % {mod} = 0 GROUP BY docid
+  )
+SELECT b.docid, b.n_grams,
+       COALESCE(s.n_selected, 0) AS n_selected,
+       md5(COALESCE(array_to_string(s.hs, ':'), '')) AS fingerprint
+FROM base b LEFT JOIN sel s ON s.docid = b.docid"""
+
+
 def sql_embedding_near_dup(dims: int, threshold: float = 0.45,
                            n_planes: int = 8) -> str:
     return f"""
