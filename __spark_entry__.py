@@ -206,6 +206,25 @@ def q_text_fingerprint(spark, sf_dir):
     return doc_fingerprint(_pipeline_docs(spark, sf_dir))
 
 
+def q_events_windowed(spark, sf_dir):
+    from searchenginepp_spark.streaming.windowed import windowed_event_counts
+
+    return windowed_event_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_mm_byte_histogram(spark, sf_dir):
+    """Multimodal plumbing demo: document text as opaque binary payload →
+    Arrow-batched numpy byte histogram (operators/multimodal.py)."""
+    from searchenginepp_spark.operators.multimodal import (
+        asset_table, byte_histogram,
+    )
+
+    docs = _pipeline_docs(spark, sf_dir).select(
+        "docid", F.encode("content", "utf-8").alias("data"))
+    return byte_histogram(asset_table(docs, "docid", "data"), n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings_tf": q_postings_tf,
@@ -228,6 +247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_text_quality,
         "text_language_id": q_text_language_id,
         "text_doc_fingerprint": q_text_fingerprint,
+        "events_windowed_agg": q_events_windowed,
+        "mm_byte_histogram": q_mm_byte_histogram,
     }
 
 
@@ -250,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": opipe.sql_quality_scores(),
         "text_language_id": opipe.sql_language_id(),
         "text_doc_fingerprint": opipe.sql_doc_fingerprint(),
+        "events_windowed_agg": opipe.sql_events_windowed(),
+        "mm_byte_histogram": opipe.sql_byte_histogram(16),
     }
     return pipeline | {
         "postings_tf": osql.sql_postings_tf(),

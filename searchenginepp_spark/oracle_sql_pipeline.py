@@ -200,6 +200,27 @@ SELECT query_id, vec_id, rank::BIGINT AS rank, cosine FROM ranked
 WHERE rank <= {k}"""
 
 
+def sql_events_windowed() -> str:
+    return """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def sql_byte_histogram(n_buckets: int = 16) -> str:
+    width = 256 // n_buckets
+    return f"""
+WITH chars AS (
+    SELECT doc_id AS asset_id,
+           ascii(substr(text, i, 1)) // {width} AS bucket
+    FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+  )
+SELECT asset_id, bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS count
+FROM chars GROUP BY 1, 2"""
+
+
 # -------------------------------------------------- text analysis oracles
 
 def sql_token_counts() -> str:

@@ -1,0 +1,84 @@
+"""Structured Streaming: (1) the windowed event agg gives identical answers
+in batch and streaming (availableNow) modes; (2) the incremental index
+ingest is exactly-once across stream restarts and its final index answers
+queries identically to a one-shot batch build."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginepp_spark.operators.index_build import build_index
+from searchenginepp_spark.operators.query import search
+from searchenginepp_spark.sources.corpus import synthesize_corpus
+from searchenginepp_spark.streaming.incremental import (
+    finalize_index, start_ingest,
+)
+from searchenginepp_spark.streaming.windowed import (
+    stream_event_counts, windowed_event_counts,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_windowed_agg_stream_equals_batch(spark, tmp_path):
+    batch = windowed_event_counts(spark.read.parquet(EVENTS))
+    want = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in batch.collect()}
+    assert want, "events table empty?"
+
+    # file-stream sources want a directory, not a single parquet file
+    events_dir = str(tmp_path / "events_dir")
+    spark.read.parquet(EVENTS).write.parquet(events_dir)
+    sdf = stream_event_counts(spark, events_dir, str(tmp_path / "ckpt"))
+    q = (sdf.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert got == want
+
+
+QUERIES = [(1, "sym1 sym2"), (2, "int return"), (3, "fn_1 sym5")]
+
+
+def _by_docno(df):
+    return sorted((r["qid"], r["docno"], round(r["score"], 6))
+                  for r in df.collect())
+
+
+def test_incremental_ingest_exactly_once_and_matches_batch(spark, tmp_path):
+    corpus = synthesize_corpus(spark, 120).cache()
+    wave1 = corpus.filter(F.crc32("path") % 2 == 0)
+    wave2 = corpus.filter(F.crc32("path") % 2 == 1)
+    in_dir = str(tmp_path / "arrivals")
+    staging = str(tmp_path / "staging")
+
+    # wave 1 arrives, stream drains it
+    wave1.write.mode("append").parquet(in_dir)
+    start_ingest(spark, in_dir, staging, available_now=True)
+    n1 = spark.read.parquet(f"{staging}/staging_docmap").count()
+    assert n1 == wave1.count()
+
+    # re-running with nothing new is a no-op (checkpoint, not re-ingest)
+    start_ingest(spark, in_dir, staging, available_now=True)
+    assert spark.read.parquet(f"{staging}/staging_docmap").count() == n1
+
+    # wave 2 arrives; only the new files are processed
+    wave2.write.mode("append").parquet(in_dir)
+    start_ingest(spark, in_dir, staging, available_now=True)
+    docmap = spark.read.parquet(f"{staging}/staging_docmap")
+    assert docmap.count() == 120
+    # docids stayed dense and unique across micro-batches
+    assert docmap.select("docid").distinct().count() == 120
+    assert docmap.agg(F.min("docid"), F.max("docid")).collect()[0] == (1, 120)
+
+    # finalize → same answers as a one-shot batch build (docids differ by
+    # arrival order, so compare by docno)
+    inc = finalize_index(spark, staging, str(tmp_path / "inc_index"),
+                         salt_target=64, block_size=16)
+    batch_root = str(tmp_path / "batch_index")
+    build_index(spark, corpus, batch_root, salt_target=64, block_size=16)
+    got = _by_docno(search(spark, inc.root, QUERIES, k=10))
+    want = _by_docno(search(spark, batch_root, QUERIES, k=10))
+    assert got == want
