@@ -53,7 +53,11 @@ def make_spark(cores: int):
         .config("spark.default.parallelism", str(cores))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # generous heap: with N concurrent parquet writers in ONE local JVM
+        # the parquet MemoryManager shrinks row groups when the pool is
+        # tight, which poisons every downstream scan (measured 4-6x)
+        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
 

@@ -83,3 +83,52 @@ def tokenize_batch(texts: Iterable[str], stem: bool = True) -> list[list[str]]:
     stemmer per batch."""
     st = MemoStemmer()
     return [tokenize(t if t is not None else "", st, stem) for t in texts]
+
+
+# ---------------------------------------------------------------- fast path
+#
+# Hot-loop variant for the build UDF.  Three C-speed tricks:
+#   * str.translate (not regex) maps every punctuation codepoint to ' ';
+#   * a module-level raw-token → final-term dict persists across Arrow
+#     batches for the lifetime of the Python worker (Spark reuses workers),
+#     and `map(cache.get, tokens)` resolves hits without entering Python;
+#   * Counter(list) counts at C speed.
+# Corpus vocabularies (especially code) are tiny relative to token counts,
+# so the steady state is one dict probe per token.  The cache is capped to
+# bound worker memory on adversarial vocabularies; a clear() just re-warms.
+
+_PUNCT_TRANSLATE = {ord(c): " " for c in PUNCT_ALL}
+_FILTERED = object()             # cache value for "token drops out"
+_CACHE_CAP = 1_000_000
+_caches: dict[bool, dict] = {True: {}, False: {}}
+_shared_stemmer = MemoStemmer()
+
+
+def _resolve_token(tok: str, stem: bool) -> str:
+    cache = _caches[stem]
+    low = tok.lower()
+    if len(low) > MAX_TOKEN_LEN or low in stop_words():
+        res = _FILTERED
+    else:
+        res = _shared_stemmer(low) if stem else low
+    if len(cache) >= _CACHE_CAP:
+        cache.clear()
+    cache[tok] = res
+    return res
+
+
+def term_frequencies_fast(text: str, stem: bool = True) -> Counter[str]:
+    """Cached-vocabulary term_frequencies — identical output to
+    term_frequencies, built for the Arrow UDF hot loop."""
+    toks = _WS_SPLIT_RE.split(text.translate(_PUNCT_TRANSLATE))
+    cache = _caches[stem]
+    got = list(map(cache.get, toks))            # C loop; None = miss
+    if None in got:
+        for i, g in enumerate(got):
+            if g is None and toks[i]:
+                got[i] = _resolve_token(toks[i], stem)
+    counts = Counter(got)                       # C loop
+    counts.pop(_FILTERED, None)
+    counts.pop(None, None)                      # empty split artifacts
+    counts.pop("", None)
+    return counts

@@ -71,17 +71,21 @@ class _ListCursor:
                  "idf", "n_blocks", "last_docids", "block_ubs", "_cache")
 
     def __init__(self, row, scorer: str):
-        ub_field = "bm25_ub" if scorer == "bm25" else "tfidf_ub"
-        self.sigma = float(row.sigma_bm25 if scorer == "bm25" else row.sigma_tfidf)
+        # stored σ / block maxima are idf-free score PARTS (index_build.py
+        # SKIP_FIELD note) — multiply by this list's idf to get true bounds
+        ub_field = "bm25_part_ub" if scorer == "bm25" else "tfidf_part_ub"
+        self.idf = float(np.log2(row.n_docs_f / float(row.df_global)))
+        sig_part = (row.sigma_bm25_part if scorer == "bm25"
+                    else row.sigma_tfidf_part)
+        self.sigma = float(sig_part) * self.idf
         self.blocks = list(row.skips)
         self.docid_blob = bytes(row.docid_blob)
         self.tf_blob = bytes(row.tf_blob)
         self.doclen_blob = bytes(row.doclen_blob)
-        self.idf = float(np.log2(row.n_docs_f / float(row.df_global)))
         self.n_blocks = len(self.blocks)
         self.last_docids = np.array(
             [_skip_field(b, "last_docid") for b in self.blocks], dtype=np.int64)
-        self.block_ubs = np.array(
+        self.block_ubs = self.idf * np.array(
             [_skip_field(b, ub_field) for b in self.blocks], dtype=np.float64)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -226,11 +230,11 @@ def search_bmm(spark: SparkSession, index_root: str,
         return spark.createDataFrame(
             [], schema="qid long, docid long, docno string, rank long, score double")
 
-    # shards already carry df_global (joined during the sigma pass) — only
-    # the per-query term mapping is joined here
+    lexicon = spark.read.parquet(paths.lexicon).filter(F.col("term").isin(terms))
     shards = (
         spark.read.parquet(paths.shards)
         .filter(F.col("term").isin(terms))
+        .join(F.broadcast(lexicon.withColumnRenamed("df", "df_global")), "term")
         .join(F.broadcast(qterms), "term")
         .withColumn("n_docs_f", F.lit(float(n_docs)))
     )

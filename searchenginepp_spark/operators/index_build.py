@@ -1,11 +1,11 @@
 """Index construction — the Spark-first re-expression of the reference
 builder pipeline (/root/reference/src/builder.cpp:270-374):
 
-  corpus → tokenize (Arrow UDF, map<term,tf> per doc; B4-B9)
-         → explode → postings (term, docid, tf, doclen)        [narrow]
-         → salted repartition by term hash → encode shards     [1 shuffle]
-         → global lexicon / stats aggregations                 [tiny shuffles]
-         → sigma/skip second pass (map-only + broadcast stats) [no shuffle]
+  corpus → docmap pass (scalar doclen UDF)                     [narrow]
+         → explode_postings (flat Arrow kernel; B4-B9)         [narrow]
+         → salted repartition(term, salt) + Tungsten sort      [1 shuffle]
+         → streaming encode (codecs + fused skip/σ metadata)   [narrow]
+         → global lexicon from the written shard table         [tiny shuffle]
 
 Scale design:
   * ONE wide shuffle of the exploded postings, keyed by (term, salt). Head
@@ -16,9 +16,15 @@ Scale design:
     dirs, src/builder.cpp:98-109) and queries merge them, which is
     score-invariant because scoring uses only global df/avgdl/N
     (src/engine.cpp:30-32: all partitions share the global lexicon).
-  * The sigma/skip pass (reference 2nd pass, builder.cpp:192-268) is
-    map-only: per-term arrays are decoded, scored vectorized, and block
-    maxima taken with np.maximum.reduceat every SKIP_BLOCK_SIZE postings.
+  * The reference needs a SECOND pass for σ/skip metadata because its
+    stored bounds bake in the global df (builder.cpp:192-268).  We store
+    idf-FREE score parts (score = idf·part for both BM25 and TFIDF), so the
+    bounds are computed while the arrays are in hand during encoding — the
+    second pass over the index disappears.
+  * No map<string,int> Arrow columns and no intermediate persist on the
+    build path: exploded postings are flat int64/string columns (measured
+    ~10x on the tokenize stage), sorting happens in the JVM (radix sort,
+    not pandas), and the encoder streams over complete groups per batch.
   * doclen is carried through the explode instead of re-joined — postings
     arrive at the encoder self-contained.
 """
@@ -55,15 +61,15 @@ SALT_TARGET_POSTINGS = 1 << 21
 
 def tf_map_udf(stem: bool = True):
     """content → map<term,int> term frequencies, one Python pass per batch
-    (reference builder.cpp:56-66 per-doc unordered_map)."""
-    from searchenginepp_spark.functions.normalizer import term_frequencies
-    from searchenginepp_spark.functions.porter2 import MemoStemmer
+    (reference builder.cpp:56-66 per-doc unordered_map).  Uses the
+    worker-persistent vocabulary cache (normalizer.term_frequencies_fast) —
+    in steady state each token costs one dict hit."""
+    from searchenginepp_spark.functions.normalizer import term_frequencies_fast
 
     @F.pandas_udf("map<string,int>")
     def _tf(content: pd.Series) -> pd.Series:
-        st = MemoStemmer()
         return content.map(
-            lambda t: dict(term_frequencies(t if t is not None else "", st, stem))
+            lambda t: dict(term_frequencies_fast(t if t is not None else "", stem))
         )
 
     return _tf
@@ -71,13 +77,70 @@ def tf_map_udf(stem: bool = True):
 
 def tokenize_corpus(corpus: DataFrame, stem: bool = True) -> DataFrame:
     """corpus(+docid) → per-doc tf map and doclen (doclen = Σtf, reference
-    builder.cpp:69-73)."""
+    builder.cpp:69-73).
+
+    NOTE: the map<string,int> Arrow column is convenient for the relational
+    oracle queries but expensive to serialize at volume — the build paths
+    use explode_postings/doclen_udf instead (measured ~10x on the tokenize
+    stage)."""
     df = corpus.withColumn("tf_map", tf_map_udf(stem)(F.col("content")))
     return df.withColumn(
         "doclen",
         F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
                     lambda acc, x: acc + x.cast("long")),
     )
+
+
+def doclen_udf(stem: bool = True):
+    """content → doclen (post-filter token count). Scalar long output —
+    no map conversion."""
+    from searchenginepp_spark.functions.normalizer import term_frequencies_fast
+
+    @F.pandas_udf("long")
+    def _dl(content: pd.Series) -> pd.Series:
+        return content.map(
+            lambda t: sum(term_frequencies_fast(t if t is not None else "",
+                                                stem).values()))
+
+    return _dl
+
+
+def explode_postings(corpus: DataFrame, stem: bool = True) -> DataFrame:
+    """corpus(+docid) → exploded postings (term, docid, tf, doclen) in ONE
+    Arrow pass.
+
+    The build hot path: mapInArrow (no pandas Series of 10^7 Python strings
+    — term/tf columns are built directly as Arrow arrays at C speed, docid/
+    doclen via np.repeat), tokenizing each doc with the worker-persistent
+    vocabulary cache."""
+    import pyarrow as pa
+
+    from searchenginepp_spark.functions.normalizer import term_frequencies_fast
+
+    def gen(batches):
+        for batch in batches:
+            docid_np = batch.column(0).to_numpy(zero_copy_only=False)
+            contents = batch.column(1).to_pylist()
+            terms: list[str] = []
+            tfs: list[int] = []
+            n_per = np.empty(len(contents), dtype=np.int64)
+            dl_per = np.empty(len(contents), dtype=np.int64)
+            for i, content in enumerate(contents):
+                c = term_frequencies_fast(
+                    content if content is not None else "", stem)
+                n_per[i] = len(c)
+                dl_per[i] = sum(c.values())
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            yield pa.record_batch(
+                [pa.array(terms, pa.string()),
+                 pa.array(np.repeat(docid_np, n_per)),
+                 pa.array(tfs, pa.int64()),
+                 pa.array(np.repeat(dl_per, n_per))],
+                names=["term", "docid", "tf", "doclen"])
+
+    return corpus.select("docid", "content").mapInArrow(
+        gen, schema="term string, docid long, tf long, doclen long")
 
 
 def build_postings(tokenized: DataFrame) -> DataFrame:
@@ -116,17 +179,6 @@ def build_stats(docmap: DataFrame) -> DataFrame:
     )
 
 
-_SHARD_SCHEMA = StructType([
-    StructField("term", StringType()),
-    StructField("shard", LongType()),
-    StructField("df_shard", LongType()),
-    StructField("first_docid", LongType()),
-    StructField("last_docid", LongType()),
-    StructField("docid_blob", BinaryType()),
-    StructField("tf_blob", BinaryType()),
-    StructField("doclen_blob", BinaryType()),
-])
-
 SKIP_FIELD = ArrayType(StructType([
     StructField("last_docid", LongType()),
     StructField("prev_docid", LongType()),   # last docid of previous block (0
@@ -136,49 +188,118 @@ SKIP_FIELD = ArrayType(StructType([
     StructField("docid_off", LongType()),    # byte offset into docid_blob
     StructField("tf_bit_off", LongType()),   # bit offset into tf_blob
     StructField("doclen_off", LongType()),   # byte offset into doclen_blob
-    StructField("bm25_ub", DoubleType()),
-    StructField("tfidf_ub", DoubleType()),
+    # Score upper bounds are stored WITHOUT the idf factor: every scorer here
+    # factorizes as score = idf(term) * part(tf, doclen), so per-block maxima
+    # of `part` multiplied by idf at query time are exact bounds.  This is
+    # what lets sigma/skip construction fuse into the single encode pass —
+    # the reference needs a second pass only because its stored bounds bake
+    # in the global df (builder.cpp:192-268).
+    StructField("bm25_part_ub", DoubleType()),
+    StructField("tfidf_part_ub", DoubleType()),
 ]))
 
-
-def _encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term, shard) group → one compressed index row.
-    Postings sorted by docid; docids delta-gap+varbyte, tfs unary, doclens
-    varbyte (doclen carried per posting so BM25 inside the scorer UDF needs
-    no docmap join)."""
-    pdf = pdf.sort_values("docid")
-    docids = pdf["docid"].to_numpy(dtype=np.uint64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    doclens = pdf["doclen"].to_numpy(dtype=np.uint64)
-    return pd.DataFrame({
-        "term": [pdf["term"].iloc[0]],
-        "shard": [int(pdf["salt"].iloc[0])],
-        "df_shard": [len(pdf)],
-        "first_docid": [int(docids[0])],
-        "last_docid": [int(docids[-1])],
-        "docid_blob": [varbyte_encode(delta_encode(docids))],
-        "tf_blob": [unary_encode(tfs)],
-        "doclen_blob": [varbyte_encode(doclens)],
-    })
+_SHARD_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("shard", LongType()),
+    StructField("df_shard", LongType()),
+    StructField("first_docid", LongType()),
+    StructField("last_docid", LongType()),
+    StructField("docid_blob", BinaryType()),
+    StructField("tf_blob", BinaryType()),
+    StructField("doclen_blob", BinaryType()),
+    StructField("sigma_bm25_part", DoubleType()),
+    StructField("sigma_tfidf_part", DoubleType()),
+    StructField("skips", SKIP_FIELD),
+])
 
 
-def build_index_shards(postings: DataFrame,
+def _encode_groups(terms, salts_np, docids_np, tfs_np, dl_np, change,
+                   block_size: int, avgdl: float) -> list[dict]:
+    """Encode a run of complete (term, salt) groups (rows already sorted by
+    (term, salt, docid) by the JVM) into compressed index rows with fused
+    skip pointers and idf-free score-part maxima.
+
+    `terms` is a pyarrow StringArray — only ONE string per group is ever
+    materialized into Python (`terms[s].as_py()`); `change` holds the
+    precomputed group-start offsets."""
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(salts_np)]))
+    rows = []
+    for s, e in zip(starts, ends):
+        docids = docids_np[s:e].astype(np.uint64)
+        tfs = tfs_np[s:e]
+        doclens = dl_np[s:e].astype(np.uint64)
+        n = e - s
+        tf_f = tfs.astype(np.float64)
+        bm25_part = tf_f / (BM25_K1 * ((1 - BM25_B)
+                                       + BM25_B * doclens.astype(np.float64)
+                                       / avgdl) + tf_f)
+        tfidf_part = 1.0 + np.log2(tf_f)
+        gaps = delta_encode(docids)
+        d_offs = varbyte_value_offsets(gaps)
+        t_offs = unary_value_bit_offsets(tfs)
+        l_offs = varbyte_value_offsets(doclens)
+        bstarts = np.arange(0, n, block_size)
+        bends = np.minimum(bstarts + block_size, n) - 1
+        skips = [
+            {
+                "last_docid": int(docids[be]),
+                "prev_docid": int(docids[bs - 1]) if bs > 0 else 0,
+                "n_postings": int(be - bs + 1),
+                "docid_off": int(d_offs[bs]),
+                "tf_bit_off": int(t_offs[bs]),
+                "doclen_off": int(l_offs[bs]),
+                "bm25_part_ub": float(np.max(bm25_part[bs:be + 1])),
+                "tfidf_part_ub": float(np.max(tfidf_part[bs:be + 1])),
+            }
+            for bs, be in zip(bstarts, bends)
+        ]
+        rows.append({
+            "term": terms[s].as_py(),
+            "shard": int(salts_np[s]),
+            "df_shard": int(n),
+            "first_docid": int(docids[0]),
+            "last_docid": int(docids[-1]),
+            "docid_blob": varbyte_encode(gaps),
+            "tf_blob": unary_encode(tfs),
+            "doclen_blob": varbyte_encode(doclens),
+            "sigma_bm25_part": float(bm25_part.max()),
+            "sigma_tfidf_part": float(tfidf_part.max()),
+            "skips": skips,
+        })
+    return rows
+
+
+def build_index_shards(postings: DataFrame, avgdl: float,
                        salt_target: int = SALT_TARGET_POSTINGS,
-                       num_partitions: int | None = None) -> DataFrame:
-    """The one wide shuffle: postings → compressed per-(term,shard) rows.
+                       num_partitions: int | None = None,
+                       block_size: int = SKIP_BLOCK_SIZE,
+                       heavy: DataFrame | None = None) -> DataFrame:
+    """The one wide shuffle: postings → compressed per-(term,shard) index
+    rows with fused skip pointers and σ-part maxima.
 
-    Heavy terms are detected with a df aggregation, broadcast, and salted by
-    docid hash into ceil(df/salt_target) shards; everything else lands in
-    shard 0. groupBy(term, salt) + applyInPandas encodes each sub-list.
+    Plan shape (all heavy lifting JVM-side until the final encode):
+      1. df per term (map-side-combined agg, tiny) → broadcast; terms with
+         df > salt_target split by docid hash into ceil(df/target) salts so
+         no task ever materializes an unbounded posting list.
+      2. repartition(hash(term, salt)) + Tungsten sortWithinPartitions
+         (term, salt, docid) — the shuffle + radix sort that replaces the
+         reference's std::map insertions (IndexBuilder.hpp:41).
+      3. ONE streaming mapInArrow pass encodes complete groups per Arrow
+         batch (carry-over buffer for groups spanning batches).  Group
+         boundaries come from pyarrow compute on the raw Arrow string
+         column — only one Python string per GROUP is ever materialized;
+         int columns reach numpy zero-copy.  Numpy codecs, zero Python
+         sorting, zero second pass.
     """
-    spark = postings.sparkSession
-    heavy = (
-        postings.groupBy("term").agg(F.count("*").alias("df"))
-        .filter(F.col("df") > salt_target)
-        .withColumn("n_buckets",
-                    F.ceil(F.col("df") / F.lit(salt_target)).cast("long"))
-        .select("term", "n_buckets")
-    )
+    if heavy is None:
+        heavy = (
+            postings.groupBy("term").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > salt_target)
+            .withColumn("n_buckets",
+                        F.ceil(F.col("df") / F.lit(salt_target)).cast("long"))
+            .select("term", "n_buckets")
+        )
     salted = (
         postings.join(F.broadcast(heavy), "term", "left")
         .withColumn(
@@ -188,72 +309,75 @@ def build_index_shards(postings: DataFrame,
         )
         .drop("n_buckets")
     )
-    grouped = salted.groupBy("term", "salt")
-    if num_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-    return grouped.applyInPandas(_encode_shard, schema=_SHARD_SCHEMA)
-
-
-def sigma_skip_pass(shards: DataFrame, global_lexicon: DataFrame,
-                    n_docs: int, avgdl: float,
-                    block_size: int = SKIP_BLOCK_SIZE) -> DataFrame:
-    """Second pass (reference builder.cpp:192-268): per-shard σ upper bounds
-    and skip pointers every SKIP_BLOCK_SIZE postings. Map-only — global df
-    arrives by a join on term (broadcast when small; Catalyst/AQE decides),
-    stats are plain Python constants captured by the UDF closure.
-
-    Unlike the reference we do NOT quantize the bounds to 2 decimals
-    (types.hpp:120-131) — its floor-truncation can make a stored bound lower
-    than the true block max, which in rare margins prunes a true top-k doc.
-    Exact doubles keep BMM rank-identical to exact DAAT.
-    """
-    from searchenginepp_spark.functions.codecs import decode_posting_list, varbyte_decode
-
-    enriched = shards.join(global_lexicon.withColumnRenamed("df", "df_global"),
-                           "term", "left")
-    schema = StructType(
-        [f for f in enriched.schema.fields]
-        + [StructField("sigma_bm25", DoubleType()),
-           StructField("sigma_tfidf", DoubleType()),
-           StructField("skips", SKIP_FIELD)]
+    n_parts = (num_partitions
+               or postings.sparkSession.sparkContext.defaultParallelism)
+    arranged = (
+        salted.repartition(n_parts, "term", "salt")
+        .sortWithinPartitions("term", "salt", "docid")
     )
 
-    def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            sig_b, sig_t, skips_col = [], [], []
-            for row in pdf.itertuples(index=False):
-                df_shard = int(row.df_shard)
-                docids, tfs = decode_posting_list(row.docid_blob, row.tf_blob, df_shard)
-                doclens = varbyte_decode(row.doclen_blob, count=df_shard)
-                idf = float(np.log2(n_docs / float(row.df_global)))
-                tfs_f = tfs.astype(np.float64)
-                dl = doclens.astype(np.float64)
-                bm25 = tfs_f / (BM25_K1 * ((1 - BM25_B) + BM25_B * dl / avgdl) + tfs_f) * idf
-                tfidf = (1.0 + np.log2(tfs_f)) * idf
-                starts = np.arange(0, df_shard, block_size)
-                gaps = delta_encode(docids)
-                d_offs = varbyte_value_offsets(gaps)
-                t_offs = unary_value_bit_offsets(tfs)
-                l_offs = varbyte_value_offsets(doclens)
-                ends = np.minimum(starts + block_size, df_shard) - 1
-                skips_col.append([
-                    {
-                        "last_docid": int(docids[e]),
-                        "prev_docid": int(docids[s - 1]) if s > 0 else 0,
-                        "n_postings": int(e - s + 1),
-                        "docid_off": int(d_offs[s]),
-                        "tf_bit_off": int(t_offs[s]),
-                        "doclen_off": int(l_offs[s]),
-                        "bm25_ub": float(np.max(bm25[s:e + 1])),
-                        "tfidf_ub": float(np.max(tfidf[s:e + 1])),
-                    }
-                    for s, e in zip(starts, ends)
-                ])
-                sig_b.append(float(bm25.max()))
-                sig_t.append(float(tfidf.max()))
-            yield pdf.assign(sigma_bm25=sig_b, sigma_tfidf=sig_t, skips=skips_col)
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return enriched.mapInPandas(score_blocks, schema=schema)
+    pa_skip = pa.list_(pa.struct([
+        ("last_docid", pa.int64()), ("prev_docid", pa.int64()),
+        ("n_postings", pa.int64()), ("docid_off", pa.int64()),
+        ("tf_bit_off", pa.int64()), ("doclen_off", pa.int64()),
+        ("bm25_part_ub", pa.float64()), ("tfidf_part_ub", pa.float64()),
+    ]))
+    pa_shard = pa.schema([
+        ("term", pa.string()), ("shard", pa.int64()),
+        ("df_shard", pa.int64()), ("first_docid", pa.int64()),
+        ("last_docid", pa.int64()), ("docid_blob", pa.binary()),
+        ("tf_blob", pa.binary()), ("doclen_blob", pa.binary()),
+        ("sigma_bm25_part", pa.float64()), ("sigma_tfidf_part", pa.float64()),
+        ("skips", pa_skip),
+    ])
+
+    def columns(tbl: pa.Table):
+        terms = tbl.column("term").combine_chunks()
+        if isinstance(terms, pa.ChunkedArray):
+            terms = (terms.chunk(0) if terms.num_chunks
+                     else pa.array([], pa.string()))
+        salts = tbl.column("salt").to_numpy(zero_copy_only=False)
+        docids = tbl.column("docid").to_numpy(zero_copy_only=False)
+        tfs = tbl.column("tf").to_numpy(zero_copy_only=False)
+        dls = tbl.column("doclen").to_numpy(zero_copy_only=False)
+        return terms, salts, docids, tfs, dls
+
+    def emit(tbl: pa.Table) -> pa.RecordBatch:
+        terms, salts, docids, tfs, dls = columns(tbl)
+        n = len(salts)
+        term_ne = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
+        change = np.flatnonzero(
+            term_ne.to_numpy(zero_copy_only=False)
+            | (salts[1:] != salts[:-1])) + 1
+        rows = _encode_groups(terms, salts, docids, tfs, dls, change,
+                              block_size, avgdl)
+        return pa.RecordBatch.from_pylist(rows, schema=pa_shard)
+
+    def encode_stream(batches):
+        buf: pa.Table | None = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if buf is not None and len(buf):
+                tbl = pa.concat_tables([buf, tbl])
+            if not len(tbl):
+                continue
+            # rows are (term, salt)-sorted: the final group is a contiguous
+            # tail — hold it back, it may continue in the next batch
+            terms = tbl.column("term")
+            salts = tbl.column("salt")
+            eq = pc.and_(pc.equal(terms, terms[-1]), pc.equal(salts, salts[-1]))
+            tail = int(pc.sum(eq).as_py())
+            cut = len(tbl) - tail
+            buf = tbl.slice(cut)
+            if cut:
+                yield emit(tbl.slice(0, cut))
+        if buf is not None and len(buf):
+            yield emit(buf)
+
+    return arranged.mapInArrow(encode_stream, schema=_SHARD_SCHEMA)
 
 
 class IndexPaths:
@@ -284,40 +408,49 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
     corpus = (assign_docids(corpus) if scalable_docids
               else assign_docids_window(corpus))
 
-    tokenized = tokenize_corpus(corpus, stem=stem)
-    # tokenize once, feed both docmap and postings
-    tokenized.persist()
-    try:
-        docmap = build_docmap(tokenized)
-        docmap.write.mode("overwrite").parquet(paths.docmap)
+    # two independent cheap Arrow passes over the (persisted) corpus beat
+    # one pass that materializes map<string,int> rows (~10x on this stage):
+    # pass 1 → docmap with doclen; pass 2 → exploded flat postings
+    docmap = corpus.withColumn(
+        "doclen", doclen_udf(stem)(F.col("content"))
+    ).select("docid", "docno", "repo", "path", "commit", "lang", "doclen",
+             "content_sha256")
+    docmap.write.mode("overwrite").parquet(paths.docmap)
 
-        stats = build_stats(spark.read.parquet(paths.docmap))
-        stats.write.mode("overwrite").parquet(paths.stats)
-        srow = spark.read.parquet(paths.stats).collect()[0]
-        n_docs, sum_doclen = srow["n_docs"], srow["sum_doclen"]
-        avgdl = sum_doclen / n_docs if n_docs else 0.0
+    stats = build_stats(spark.read.parquet(paths.docmap))
+    stats.write.mode("overwrite").parquet(paths.stats)
+    srow = spark.read.parquet(paths.stats).collect()[0]
+    n_docs, sum_doclen = srow["n_docs"], srow["sum_doclen"]
+    avgdl = sum_doclen / n_docs if n_docs else 0.0
 
-        postings = build_postings(tokenized)
-        shards = build_index_shards(postings, salt_target=salt_target,
-                                    num_partitions=term_partitions)
-
-        lexicon = shards.groupBy("term").agg(F.sum("df_shard").alias("df"))
-        # shards is consumed twice (lexicon + sigma pass); persist the
-        # compressed form — it is ~10x smaller than the exploded postings
-        shards.persist()
-        try:
-            lexicon.write.mode("overwrite").parquet(paths.lexicon)
-            lexicon_r = spark.read.parquet(paths.lexicon)
-            final = sigma_skip_pass(shards, lexicon_r, int(n_docs),
-                                    float(avgdl), block_size=block_size)
-            # term-sorted layout → parquet min/max stats give term pruning
-            (final.repartitionByRange(
-                term_partitions or spark.sparkContext.defaultParallelism,
-                "term")
-             .sortWithinPartitions("term", "shard")
-             .write.mode("overwrite").parquet(paths.shards))
-        finally:
-            shards.unpersist()
-    finally:
-        tokenized.unpersist()
+    postings = explode_postings(corpus, stem=stem)
+    # heavy-term detection: an exact df agg costs a full tokenize pass; a
+    # corpus sample estimates df for the head terms (the only ones that
+    # matter) at a fraction of the cost.  Mis-salting is a perf, never a
+    # correctness, concern — the threshold halves as a safety margin.
+    heavy = None
+    frac = min(1.0, 100_000 / max(int(n_docs), 1))
+    if frac < 1.0:
+        sample = explode_postings(corpus.sample(frac, seed=7), stem=stem)
+        heavy = (
+            sample.groupBy("term").agg(F.count("*").alias("c"))
+            .withColumn("df_est", (F.col("c") / F.lit(frac)).cast("long"))
+            .filter(F.col("df_est") > salt_target // 2)
+            .withColumn("n_buckets",
+                        F.greatest(
+                            F.ceil(F.col("df_est") / F.lit(salt_target)),
+                            F.lit(1)).cast("long"))
+            .select("term", "n_buckets")
+        )
+    shards = build_index_shards(postings, float(avgdl),
+                                salt_target=salt_target,
+                                num_partitions=term_partitions,
+                                block_size=block_size, heavy=heavy)
+    # rows leave the encoder already (term, shard)-sorted per partition →
+    # parquet row-group min/max stats prune on term; write once, derive the
+    # global lexicon from the written table's tiny (term, df_shard) columns
+    shards.write.mode("overwrite").parquet(paths.shards)
+    (spark.read.parquet(paths.shards)
+     .groupBy("term").agg(F.sum("df_shard").alias("df"))
+     .write.mode("overwrite").parquet(paths.lexicon))
     return paths

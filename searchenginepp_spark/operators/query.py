@@ -193,15 +193,14 @@ def search_corpus(spark: SparkSession, docs: DataFrame,
     UDF. Used by the driver contract and the DuckDB-oracle checks.
     """
     from searchenginepp_spark.operators.index_build import (
-        build_global_lexicon, build_postings, tokenize_corpus,
+        build_global_lexicon, doclen_udf, explode_postings,
     )
 
-    tokenized = tokenize_corpus(docs, stem=stem)
-    stats = tokenized.agg(
+    stats = docs.withColumn("doclen", doclen_udf(stem)(F.col("content"))).agg(
         F.count("*").alias("n"), F.sum("doclen").alias("s")).collect()[0]
     n_docs = int(stats["n"])
     avgdl = (stats["s"] / n_docs) if n_docs else 0.0
-    postings = build_postings(tokenized)
+    postings = explode_postings(docs, stem=stem)
     lexicon = build_global_lexicon(postings)
     qterms = normalize_queries(queries_df(spark, queries), stem=stem)
     scored = score_postings(postings, lexicon, qterms, n_docs, avgdl, scorer)

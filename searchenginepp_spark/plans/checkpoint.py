@@ -39,8 +39,8 @@ from pyspark.sql import functions as F
 
 from searchenginepp_spark.config import SKIP_BLOCK_SIZE
 from searchenginepp_spark.operators.index_build import (
-    SALT_TARGET_POSTINGS, IndexPaths, build_docmap, build_index_shards,
-    build_postings, build_stats, sigma_skip_pass, tokenize_corpus,
+    SALT_TARGET_POSTINGS, IndexPaths, build_index_shards, build_stats,
+    doclen_udf, explode_postings,
 )
 from searchenginepp_spark.sources.corpus import (
     assign_docids, with_content_sha256, with_docno,
@@ -116,15 +116,14 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
     if not _stage_done(manifest, "postings", fp):
         t0 = time.perf_counter()
         prepared = assign_docids(with_content_sha256(with_docno(corpus)))
-        tokenized = tokenize_corpus(prepared, stem=stem).persist()
-        try:
-            build_docmap(tokenized).write.mode("overwrite").parquet(paths.docmap)
-            postings = build_postings(tokenized).withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-            (postings.write.mode("overwrite")
-             .partitionBy("bucket").parquet(postings_path))
-        finally:
-            tokenized.unpersist()
+        (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
+         .select("docid", "docno", "repo", "path", "commit", "lang",
+                 "doclen", "content_sha256")
+         .write.mode("overwrite").parquet(paths.docmap))
+        postings = explode_postings(prepared, stem=stem).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        (postings.write.mode("overwrite")
+         .partitionBy("bucket").parquet(postings_path))
         wall = time.perf_counter() - t0
         n_postings = spark.read.parquet(postings_path).count()
         n_docs = spark.read.parquet(paths.docmap).count()
@@ -152,9 +151,8 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
     srow = spark.read.parquet(paths.stats).collect()[0]
     n_docs = int(srow["n_docs"])
     avgdl = (srow["sum_doclen"] / n_docs) if n_docs else 0.0
-    lexicon_r = spark.read.parquet(paths.lexicon)
 
-    # ---- per-bucket encode + sigma stages ----
+    # ---- per-bucket encode stages (skip/σ metadata fused into encode) ----
     done_this_run = 0
     for b in range(n_buckets):
         name = f"bucket:{b}"
@@ -168,13 +166,12 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
             .filter(F.col("bucket") == b)       # partition-pruned scan
             .select("term", "docid", "tf", "doclen")
         )
-        shards = build_index_shards(bucket_postings, salt_target=salt_target,
-                                    num_partitions=term_partitions)
-        final = sigma_skip_pass(shards, lexicon_r, n_docs, float(avgdl),
-                                block_size=block_size)
+        shards = build_index_shards(bucket_postings, float(avgdl),
+                                    salt_target=salt_target,
+                                    num_partitions=term_partitions,
+                                    block_size=block_size)
         out_dir = f"{paths.shards}/bucket={b}"
-        final.sortWithinPartitions("term", "shard").write.mode(
-            "overwrite").parquet(out_dir)
+        shards.write.mode("overwrite").parquet(out_dir)
         wall = time.perf_counter() - t0
         stats_row = (spark.read.parquet(out_dir)
                      .agg(F.count("*").alias("rows"),

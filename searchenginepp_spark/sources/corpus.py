@@ -109,22 +109,26 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
     schema = StructType(list(part.schema.fields) + [StructField("docid", LongType())])
     boff = df.sparkSession.sparkContext.broadcast(offsets)
 
-    def add_index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def add_index(batches):
+        # mapInArrow: the content column passes through untouched (no
+        # pandas round-trip of the document bodies)
+        import numpy as np
+        import pyarrow as pa
+
         local = 0
         base = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(docid=pd.Series(dtype="int64"))
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
             if base is None:
-                base = boff.value[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.assign(
-                docid=pd.RangeIndex(base + local, base + local + len(pdf)).astype("int64")
-            )
-            local += len(pdf)
-            yield pdf
+                base = boff.value[batch.column("__pid")[0].as_py()]
+            ids = pa.array(np.arange(base + local, base + local + n,
+                                     dtype=np.int64))
+            local += n
+            yield batch.append_column("docid", ids)
 
-    return part.mapInPandas(add_index, schema=schema).drop("__pid")
+    return part.mapInArrow(add_index, schema=schema).drop("__pid")
 
 
 _HEAD_TOKENS = ("int return if else for while void static const include def "

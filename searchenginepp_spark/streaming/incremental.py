@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 
 from searchenginepp_spark.config import SKIP_BLOCK_SIZE
 from searchenginepp_spark.operators.index_build import (
-    SALT_TARGET_POSTINGS, IndexPaths, build_docmap, build_postings,
-    build_stats, build_index_shards, sigma_skip_pass, tokenize_corpus,
+    SALT_TARGET_POSTINGS, IndexPaths, build_index_shards, build_stats,
+    doclen_udf, explode_postings,
 )
 from searchenginepp_spark.sources.corpus import (
     CORPUS_COLS, with_content_sha256, with_docno,
@@ -55,12 +55,12 @@ def _stage_batch(spark: SparkSession, batch: DataFrame, staging: StagingPaths,
     w = Window.orderBy("repo", "path", "commit")
     prepared = with_content_sha256(with_docno(batch)).withColumn(
         "docid", (F.row_number().over(w) + F.lit(base)).cast("long"))
-    tokenized = tokenize_corpus(prepared, stem=stem).persist()
-    try:
-        build_docmap(tokenized).write.mode("append").parquet(staging.docmap)
-        build_postings(tokenized).write.mode("append").parquet(staging.postings)
-    finally:
-        tokenized.unpersist()
+    (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
+     .select("docid", "docno", "repo", "path", "commit", "lang", "doclen",
+             "content_sha256")
+     .write.mode("append").parquet(staging.docmap))
+    explode_postings(prepared, stem=stem).write.mode("append").parquet(
+        staging.postings)
 
 
 def start_ingest(spark: SparkSession, corpus_dir: str, staging_root: str,
@@ -103,18 +103,12 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
     avgdl = (srow["sum_doclen"] / n_docs) if n_docs else 0.0
 
     postings = spark.read.parquet(staging.postings)
-    shards = build_index_shards(postings, salt_target=salt_target,
-                                num_partitions=term_partitions)
-    shards.persist()
-    try:
-        (shards.groupBy("term").agg(F.sum("df_shard").alias("df"))
-         .write.mode("overwrite").parquet(paths.lexicon))
-        final = sigma_skip_pass(shards, spark.read.parquet(paths.lexicon),
-                                n_docs, float(avgdl), block_size=block_size)
-        (final.repartitionByRange(
-            term_partitions or spark.sparkContext.defaultParallelism, "term")
-         .sortWithinPartitions("term", "shard")
-         .write.mode("overwrite").parquet(paths.shards))
-    finally:
-        shards.unpersist()
+    shards = build_index_shards(postings, float(avgdl),
+                                salt_target=salt_target,
+                                num_partitions=term_partitions,
+                                block_size=block_size)
+    shards.write.mode("overwrite").parquet(paths.shards)
+    (spark.read.parquet(paths.shards)
+     .groupBy("term").agg(F.sum("df_shard").alias("df"))
+     .write.mode("overwrite").parquet(paths.lexicon))
     return paths

@@ -72,8 +72,8 @@ def test_block_decode_standalone(spark, built):
     )[0]
 
     class R:  # minimal row shim for _ListCursor
-        sigma_bm25 = row["sigma_bm25"]
-        sigma_tfidf = row["sigma_tfidf"]
+        sigma_bm25_part = row["sigma_bm25_part"]
+        sigma_tfidf_part = row["sigma_tfidf_part"]
         skips = row["skips"]
         docid_blob = row["docid_blob"]
         tf_blob = row["tf_blob"]
@@ -114,7 +114,7 @@ def test_maxscore_prunes_blocks(spark, built):
 
     class R:
         def __init__(self, row):
-            for f in ("sigma_bm25", "sigma_tfidf", "skips", "docid_blob",
+            for f in ("sigma_bm25_part", "sigma_tfidf_part", "skips", "docid_blob",
                       "tf_blob", "doclen_blob"):
                 setattr(self, f, row[f])
             self.df_global = lex[row["term"]]

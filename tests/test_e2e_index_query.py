@@ -113,8 +113,9 @@ def test_skip_pointers_structure(spark, built):
     assert len(skips) >= 1
     assert skips[-1]["last_docid"] == row["last_docid"]
     assert skips[0]["docid_off"] == 0 and skips[0]["tf_bit_off"] == 0
-    assert row["sigma_bm25"] >= max(s["bm25_ub"] for s in skips) - 1e-12
-    assert row["sigma_bm25"] == pytest.approx(max(s["bm25_ub"] for s in skips))
+    assert row["sigma_bm25_part"] >= max(s["bm25_part_ub"] for s in skips) - 1e-12
+    assert row["sigma_bm25_part"] == pytest.approx(
+        max(s["bm25_part_ub"] for s in skips))
 
 
 @pytest.mark.parametrize("scorer", ["bm25", "tfidf"])
