@@ -217,15 +217,16 @@ def search_bmm(spark: SparkSession, index_root: str,
     from searchenginepp_spark.config import BM25_B, BM25_K1
     from searchenginepp_spark.operators.index_build import IndexPaths
     from searchenginepp_spark.operators.query import (
-        normalize_queries, queries_df, resolve_docnos,
+        query_terms_df, query_terms_local, resolve_docnos,
     )
 
     paths = IndexPaths(index_root)
     stats = spark.read.parquet(paths.stats).collect()[0]
     n_docs = int(stats["n_docs"])
     avgdl = (stats["sum_doclen"] / n_docs) if n_docs else 0.0
-    qterms = normalize_queries(queries_df(spark, queries), stem=stem)
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    qt = query_terms_local(queries, stem=stem)
+    qterms = query_terms_df(spark, qt)
+    terms = sorted({t for _, t in qt})
     if not terms:
         return spark.createDataFrame(
             [], schema="qid long, docid long, docno string, rank long, score double")

@@ -56,6 +56,27 @@ def normalize_queries(qdf: DataFrame, stem: bool = True) -> DataFrame:
     )
 
 
+def query_terms_local(queries: Iterable[tuple[int, str]],
+                      stem: bool = True) -> list[tuple[int, str]]:
+    """Driver-side query normalization — queries are a tiny batch, so
+    tokenizing them locally (same kernel, same semantics as the reference's
+    in-process normalize, engine.cpp:88-96) skips a Spark job + Python
+    worker round-trip per search call.  Returns deduped (qid, term) rows."""
+    from searchenginepp_spark.functions.normalizer import tokenize
+    from searchenginepp_spark.functions.porter2 import MemoStemmer
+
+    st = MemoStemmer()
+    out: list[tuple[int, str]] = []
+    for qid, text in queries:
+        for term in sorted(set(tokenize(text, st, stem))):
+            out.append((int(qid), term))
+    return out
+
+
+def query_terms_df(spark: SparkSession, qterms: list[tuple[int, str]]) -> DataFrame:
+    return spark.createDataFrame(qterms, schema="qid long, term string")
+
+
 def _score_col(scorer: str, avgdl: float):
     tf = F.col("tf").cast("double")
     idf = F.col("idf")
@@ -202,7 +223,7 @@ def search_corpus(spark: SparkSession, docs: DataFrame,
     avgdl = (stats["s"] / n_docs) if n_docs else 0.0
     postings = explode_postings(docs, stem=stem)
     lexicon = build_global_lexicon(postings)
-    qterms = normalize_queries(queries_df(spark, queries), stem=stem)
+    qterms = query_terms_df(spark, query_terms_local(queries, stem=stem))
     scored = score_postings(postings, lexicon, qterms, n_docs, avgdl, scorer)
     return topk(scored, qterms, lexicon, k=k, conjunctive=conjunctive,
                 round_to=round_to)
@@ -219,16 +240,43 @@ def search(spark: SparkSession, index_root: str,
     """
     from searchenginepp_spark.operators.index_build import IndexPaths
 
-    paths = IndexPaths(index_root)
-    stats = spark.read.parquet(paths.stats).collect()[0]
-    n_docs = int(stats["n_docs"])
-    avgdl = (stats["sum_doclen"] / n_docs) if n_docs else 0.0
-    lexicon = spark.read.parquet(paths.lexicon)
-    qterms = normalize_queries(queries_df(spark, queries), stem=stem)
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    return Searcher(spark, index_root, stem=stem).search(
+        queries, k=k, scorer=scorer, conjunctive=conjunctive)
 
-    shards = spark.read.parquet(paths.shards).filter(F.col("term").isin(terms))
-    postings = decode_shards(shards)
-    scored = score_postings(postings, lexicon, qterms, n_docs, avgdl, scorer)
-    results = topk(scored, qterms, lexicon, k=k, conjunctive=conjunctive)
-    return resolve_docnos(results, spark.read.parquet(paths.docmap))
+
+class Searcher:
+    """Reusable query engine over a persisted index — loads collection
+    stats once at construction (the analogue of the reference engine's
+    startup mmap of metadata/lexicon, engine.cpp:30-59) so repeated
+    searches pay only the scoring job itself."""
+
+    def __init__(self, spark: SparkSession, index_root: str, stem: bool = True):
+        from searchenginepp_spark.operators.index_build import IndexPaths
+
+        self.spark = spark
+        self.paths = IndexPaths(index_root)
+        self.stem = stem
+        stats = spark.read.parquet(self.paths.stats).collect()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = (stats["sum_doclen"] / self.n_docs) if self.n_docs else 0.0
+        self.lexicon = spark.read.parquet(self.paths.lexicon)
+        self.docmap = spark.read.parquet(self.paths.docmap)
+        self.shards = spark.read.parquet(self.paths.shards)
+
+    def search(self, queries: Iterable[tuple[int, str]],
+               k: int = DEFAULT_TOP_K, scorer: str = "bm25",
+               conjunctive: bool = False) -> DataFrame:
+        qt = query_terms_local(queries, stem=self.stem)
+        qterms = query_terms_df(self.spark, qt)
+        terms = sorted({t for _, t in qt})
+        if not terms:
+            return self.spark.createDataFrame(
+                [], schema="qid long, docid long, docno string, rank long, "
+                           "score double")
+        shards = self.shards.filter(F.col("term").isin(terms))
+        postings = decode_shards(shards)
+        scored = score_postings(postings, self.lexicon, qterms, self.n_docs,
+                                self.avgdl, scorer)
+        results = topk(scored, qterms, self.lexicon, k=k,
+                       conjunctive=conjunctive)
+        return resolve_docnos(results, self.docmap)
