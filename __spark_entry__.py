@@ -95,25 +95,54 @@ def q_bm25_stemmed(spark, sf_dir):
     return _topk(spark, sf_dir, "bm25", conjunctive=False, stem=True)
 
 
-def q_bm25_compressed_index(spark, sf_dir):
-    """Full persisted-index path: build → compress → sigma/skip → search.
-    Rank-identical to q_bm25_disj, so it shares that oracle SQL."""
-    import tempfile
+_INDEX_CACHE: dict[str, str] = {}
 
-    from searchenginepp_spark.operators.index_build import build_index
-    from searchenginepp_spark.operators.query import search
-    from searchenginepp_spark.sources.corpus import load_corpus
 
-    corpus = load_corpus(spark, f"{sf_dir}/documents.parquet")
-    root = tempfile.mkdtemp(prefix="sepp_index_")
-    build_index(spark, corpus, root, stem=False, salt_target=4096)
-    res = search(spark, root, QUERY_SET, k=TOP_K, scorer="bm25", stem=False)
-    # docid back from docno (docno = repo:path@commit built from doc_id)
+def _built_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) an unstemmed compressed index of
+    the documents table, shared by the persisted-index queries."""
+    root = _INDEX_CACHE.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        from searchenginepp_spark.operators.index_build import build_index
+        from searchenginepp_spark.sources.corpus import load_corpus
+
+        corpus = load_corpus(spark, f"{sf_dir}/documents.parquet")
+        root = tempfile.mkdtemp(prefix="sepp_index_")
+        build_index(spark, corpus, root, stem=False, salt_target=4096,
+                    block_size=64)
+        _INDEX_CACHE[sf_dir] = root
+    return root
+
+
+def _docid_from_docno(res: DataFrame) -> DataFrame:
+    # docno = repo:path@commit built from doc_id (docXXXXX.txt)
     return res.select(
         "qid",
         F.regexp_extract("docno", r"doc(\d+)\.txt", 1).cast("long").alias("docid"),
         "rank", "score",
     )
+
+
+def q_bm25_compressed_index(spark, sf_dir):
+    """Full persisted-index path: build → compress (+fused skip/σ) → exact
+    decode search. Rank-identical to q_bm25_disj, shares that oracle SQL."""
+    from searchenginepp_spark.operators.query import search
+
+    res = search(spark, _built_index(spark, sf_dir), QUERY_SET, k=TOP_K,
+                 scorer="bm25", stem=False)
+    return _docid_from_docno(res)
+
+
+def q_bm25_bmm_index(spark, sf_dir):
+    """Block-Max MaxScore pruned path over the same persisted index —
+    must be rank-identical to the exact path (and to the DuckDB oracle)."""
+    from searchenginepp_spark.operators.bmm import search_bmm
+
+    res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET, k=TOP_K,
+                     scorer="bm25", stem=False)
+    return _docid_from_docno(res)
 
 
 # ------------------------------------------- training-data pipeline ops
@@ -213,6 +242,12 @@ def q_events_windowed(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_sessionize(spark, sf_dir):
+    from searchenginepp_spark.streaming.windowed import sessionize_events
+
+    return sessionize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_mm_byte_histogram(spark, sf_dir):
     """Multimodal plumbing demo: document text as opaque binary payload →
     Arrow-batched numpy byte histogram (operators/multimodal.py)."""
@@ -236,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_disjunctive": q_tfidf_disj,
         "bm25_topk_stemmed": q_bm25_stemmed,
         "bm25_topk_compressed_index": q_bm25_compressed_index,
+        "bm25_topk_bmm_index": q_bm25_bmm_index,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -248,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_doc_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
         "mm_byte_histogram": q_mm_byte_histogram,
     }
 
@@ -272,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": opipe.sql_language_id(),
         "text_doc_fingerprint": opipe.sql_doc_fingerprint(),
         "events_windowed_agg": opipe.sql_events_windowed(),
+        "events_sessionize": opipe.sql_sessionize(),
         "mm_byte_histogram": opipe.sql_byte_histogram(16),
     }
     return pipeline | {
@@ -284,4 +322,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk_disjunctive": osql.sql_topk("tfidf", conjunctive=False),
         # bm25_topk_stemmed: rows-only (stemming not SQL-expressible)
         "bm25_topk_compressed_index": topk_bm25,
+        "bm25_topk_bmm_index": topk_bm25,
     }

@@ -209,6 +209,31 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
 FROM events GROUP BY 1, 2"""
 
 
+def sql_sessionize(gap_seconds: int = 28_800) -> str:
+    return f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN floor(epoch(ts))::BIGINT
+                     - lag(floor(epoch(ts))::BIGINT)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {gap_seconds}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  ),
+  sess AS (
+    SELECT user_id, event_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+  )
+SELECT user_id, session_id::BIGINT AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*)::BIGINT AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id"""
+
+
 def sql_byte_histogram(n_buckets: int = 16) -> str:
     width = 256 // n_buckets
     return f"""

@@ -38,6 +38,33 @@ def windowed_event_counts(events: DataFrame, window: str = WINDOW,
     )
 
 
+SESSION_GAP_S = 28_800          # 8h inactivity closes a session
+
+
+def sessionize_events(events: DataFrame,
+                      gap_seconds: int = SESSION_GAP_S) -> DataFrame:
+    """(user_id, session_id, session_start, session_end, n_events,
+    sum_value) — classic gap-based sessionization: a new session starts when
+    the user's inter-event gap exceeds `gap_seconds`.  Pure window functions
+    (lag + running sum), one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = (gap.isNull() | (gap > gap_seconds)).cast("long")
+    marked = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        marked.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def stream_event_counts(spark: SparkSession, input_dir: str,
                         checkpoint_dir: str, window: str = WINDOW,
                         watermark: str = WATERMARK):
