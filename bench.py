@@ -113,12 +113,16 @@ def run_build(cores: int, n_docs: int, workdir: str,
         corpus = spark.read.parquet(src)
 
         t0 = time.perf_counter()
-        build_index(spark, corpus, f"{workdir}/index",
-                    term_partitions=max(cores * 2, 8))
+        paths = build_index(spark, corpus, f"{workdir}/index",
+                            term_partitions=max(cores * 2, 8))
         build_s = time.perf_counter() - t0
         res = {"build_s": build_s, "docs_per_sec": n_docs / build_s}
         if not run_queries:
             return res
+
+        from searchenginepp_spark.operators.index_build import index_size_report
+
+        res["index_size"] = index_size_report(spark, paths)
 
         from searchenginepp_spark.operators.bmm import search_bmm
         from searchenginepp_spark.operators.query import Searcher
@@ -174,6 +178,7 @@ def main() -> None:
             "docs_per_sec": round(big["docs_per_sec"], 1),
             "n_docs": N_DOCS,
             "scaling": scaling,
+            "index_size": big.get("index_size"),
             "cpu": cpu_probe(),
         }
         print(json.dumps(out))

@@ -56,6 +56,55 @@ def remove_punctuation(text: str, utf8_width_spaces: bool = False) -> str:
     return _PUNCT_RE.sub(" ", text)
 
 
+# ------------------------------------------------------- latin1 utilities
+#
+# The reference's MS-MARCO mojibake repair (compile-gated FIX_MSMARCO_LATIN1,
+# OFF by default and OFF for the code corpus) and its latin1-aware lowercase
+# (TEXT_FULL_LATIN1_CASE).  Byte-for-byte ports of the reference algorithms
+# (/root/reference/src/normalizer/utf8_utils.cpp:6-58) so the goldens from
+# tests/test_normalizer.cpp:52-83 hold exactly.
+
+def detect_utf8_encoded_latin1(s: str) -> bool:
+    """MS-MARCO heuristic (utf8_utils.cpp:31-38): a 0xC2 byte followed by a
+    C1-control / soft-hyphen byte marks double-encoded latin1."""
+    b = s.encode("utf-8")
+    for i in range(len(b) - 1):
+        if b[i] == 0xC2 and (0x80 <= b[i + 1] <= 0xA0 or b[i + 1] == 0xAD):
+            return True
+    return False
+
+
+def fix_utf8_encoded_latin1(s: str) -> str:
+    """Collapse each 2-byte UTF-8 sequence to its codepoint byte — undoing a
+    double UTF-8 encode of latin1 text (utf8_utils.cpp:6-28)."""
+    b = bytearray(s.encode("utf-8"))
+    i = 0
+    while i < len(b):
+        if len(b) - i >= 2 and ((b[i] & 0xE0) == 0xC0
+                                or (b[i + 1] & 0xC0) == 0x80):
+            b[i] = ((b[i] & 0x1F) << 6) | (b[i + 1] & 0x3F)
+            del b[i + 1]
+        i += 1
+    return b.decode("utf-8", errors="replace")
+
+
+def latin1_lowercase(s: str) -> str:
+    """Latin1-aware UTF-8 lowercase (utf8_utils.cpp:40-58): ASCII A-Z plus
+    the latin-1 supplement À-Þ (second byte of a 0xC3 sequence)."""
+    b = bytearray(s.encode("utf-8"))
+    ext = 0
+    for i in range(len(b)):
+        p = b[i]
+        if (((ext and 0x80 <= p <= 0xBF) or (not ext and p <= 0x7F))
+                and 0x40 <= (p & 0x7F) + ext <= 0x5F):
+            b[i] = p + 0x20
+        if ext:
+            ext = 0
+        elif p == 0xC3:
+            ext = 0x40
+    return b.decode("utf-8")
+
+
 def tokenize(text: str, stemmer: MemoStemmer | None = None,
              stem: bool = True) -> list[str]:
     """Full reference pipeline for one document → list of index terms."""

@@ -380,6 +380,44 @@ def build_index_shards(postings: DataFrame, avgdl: float,
     return arranged.mapInArrow(encode_stream, schema=_SHARD_SCHEMA)
 
 
+def index_size_report(spark: SparkSession, paths: "IndexPaths") -> dict:
+    """Size breakdown of a persisted index — the analogue of the
+    reference's report table 3.3 (postings split by stream, doc index,
+    lexicon).  Logical bytes are uncompressed blob/metadata sizes; on-disk
+    parquet is additionally ZSTD/dictionary compressed."""
+    import os
+
+    row = spark.read.parquet(paths.shards).agg(
+        F.sum(F.length("docid_blob")).alias("docid_bytes"),
+        F.sum(F.length("tf_blob")).alias("tf_bytes"),
+        F.sum(F.length("doclen_blob")).alias("doclen_bytes"),
+        F.sum("df_shard").alias("n_postings"),
+        F.count("*").alias("n_shard_rows"),
+    ).collect()[0]
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    n_post = int(row["n_postings"] or 0)
+    docid_b = int(row["docid_bytes"] or 0)
+    tf_b = int(row["tf_bytes"] or 0)
+    return {
+        "n_postings": n_post,
+        "n_shard_rows": int(row["n_shard_rows"] or 0),
+        "docid_blob_bytes": docid_b,
+        "tf_blob_bytes": tf_b,
+        "doclen_blob_bytes": int(row["doclen_bytes"] or 0),
+        "bytes_per_posting_docid": round(docid_b / n_post, 3) if n_post else None,
+        "bits_per_posting_tf": round(8 * tf_b / n_post, 3) if n_post else None,
+        "disk_shards_bytes": du(paths.shards),
+        "disk_docmap_bytes": du(paths.docmap),
+        "disk_lexicon_bytes": du(paths.lexicon),
+    }
+
+
 class IndexPaths:
     """On-disk layout of one index build (all parquet; the production sink
     is an Iceberg catalog — same tables, sorted+bucketed by term)."""

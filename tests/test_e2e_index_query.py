@@ -142,3 +142,15 @@ def test_empty_and_missing_term_semantics(spark, built, oracle):
     res = search(spark, built.root, [(5, "nonexistenttermxyz sym3")], k=10,
                  conjunctive=True)
     assert res.count() == 0  # conjunctive with missing term → empty
+
+
+def test_index_size_report(spark, built):
+    from searchenginepp_spark.operators.index_build import index_size_report
+
+    rep = index_size_report(spark, built)
+    assert rep["n_postings"] > 0
+    # delta-gap + varbyte must beat raw 8-byte docids by a wide margin
+    assert rep["bytes_per_posting_docid"] < 4.0
+    # unary tf: average tf is small, so only a few bits per posting
+    assert rep["bits_per_posting_tf"] < 16.0
+    assert rep["disk_shards_bytes"] > 0 and rep["disk_docmap_bytes"] > 0

@@ -79,3 +79,27 @@ def test_apostrophe_split():
     assert tokenize("you're", stem=False) == []
     # don / t are both stop words; "don't" vanishes entirely
     assert tokenize("don't twinkle", stem=False) == ["twinkle"]
+
+
+# ---------------------------------------------------------------- latin1
+# Reference goldens: /root/reference/tests/test_normalizer.cpp:52-83.
+
+def test_latin1_fix_golden():
+    from searchenginepp_spark.functions.normalizer import (
+        detect_utf8_encoded_latin1, fix_utf8_encoded_latin1,
+    )
+
+    original = "AntonÃ\xadn DvorÃ¡k (1841â\x80\x931904) Antonin Dvorak was a son of butcher,"
+    expected = "Antonín Dvorák (1841–1904) Antonin Dvorak was a son of butcher,"
+    assert detect_utf8_encoded_latin1(original)
+    assert fix_utf8_encoded_latin1(original) == expected
+    assert not detect_utf8_encoded_latin1(expected.split("(")[0])
+
+
+def test_latin1_lowercase_goldens():
+    from searchenginepp_spark.functions.normalizer import latin1_lowercase
+
+    assert latin1_lowercase("ÈÉÊËÌÍÎÏÐÑÒÓÔÕÖØÙÚÛÜÝÀÇÙÆ") == \
+        "èéêëìíîïðñòóôõöøùúûüýàçùæ"
+    assert latin1_lowercase("ABCDEFGHIJKLMNOPQRSTUVWXYZ1234567890") == \
+        "abcdefghijklmnopqrstuvwxyz1234567890"
