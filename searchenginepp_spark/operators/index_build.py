@@ -443,9 +443,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
     """
     paths = out if isinstance(out, IndexPaths) else IndexPaths(out)
     corpus = with_content_sha256(with_docno(corpus))
-    corpus = (assign_docids(corpus) if scalable_docids
-              else assign_docids_window(corpus))
+    cache_handle = None
+    if scalable_docids:
+        corpus, cache_handle = assign_docids(corpus, return_handle=True)
+    else:
+        corpus = assign_docids_window(corpus)
+    try:
+        return _build_index_passes(spark, corpus, paths, stem, salt_target,
+                                   term_partitions, block_size)
+    finally:
+        if cache_handle is not None:
+            cache_handle.unpersist()
 
+
+def _build_index_passes(spark, corpus, paths, stem, salt_target,
+                        term_partitions, block_size) -> IndexPaths:
     # two independent cheap Arrow passes over the (persisted) corpus beat
     # one pass that materializes map<string,int> rows (~10x on this stage):
     # pass 1 → docmap with doclen; pass 2 → exploded flat postings

@@ -280,3 +280,11 @@ class Searcher:
         results = topk(scored, qterms, self.lexicon, k=k,
                        conjunctive=conjunctive)
         return resolve_docnos(results, self.docmap)
+
+    def search_bmm(self, queries: Iterable[tuple[int, str]],
+                   k: int = DEFAULT_TOP_K, scorer: str = "bm25") -> DataFrame:
+        """Block-Max MaxScore fast path (disjunctive) over this index."""
+        from searchenginepp_spark.operators.bmm import search_bmm
+
+        return search_bmm(self.spark, self.paths.root, queries, k=k,
+                          scorer=scorer, stem=self.stem)

@@ -115,15 +115,20 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
     # ---- stage: postings (tokenize once; docids frozen at checkpoint) ----
     if not _stage_done(manifest, "postings", fp):
         t0 = time.perf_counter()
-        prepared = assign_docids(with_content_sha256(with_docno(corpus)))
-        (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
-         .select("docid", "docno", "repo", "path", "commit", "lang",
-                 "doclen", "content_sha256")
-         .write.mode("overwrite").parquet(paths.docmap))
-        postings = explode_postings(prepared, stem=stem).withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        (postings.write.mode("overwrite")
-         .partitionBy("bucket").parquet(postings_path))
+        prepared, cache_handle = assign_docids(
+            with_content_sha256(with_docno(corpus)), return_handle=True)
+        try:
+            (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
+             .select("docid", "docno", "repo", "path", "commit", "lang",
+                     "doclen", "content_sha256")
+             .write.mode("overwrite").parquet(paths.docmap))
+            postings = explode_postings(prepared, stem=stem).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+            (postings.write.mode("overwrite")
+             .partitionBy("bucket").parquet(postings_path))
+        finally:
+            cache_handle.unpersist()
         wall = time.perf_counter() - t0
         n_postings = spark.read.parquet(postings_path).count()
         n_docs = spark.read.parquet(paths.docmap).count()

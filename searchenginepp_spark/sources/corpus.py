@@ -71,7 +71,8 @@ def assign_docids_window(df: DataFrame, order_cols=("repo", "path", "commit")) -
 
 
 def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  return_handle: bool = False):
     """Distributed deterministic docid assignment (zipWithIndex as DataFrame).
 
     1. range-partition + sort by the ordering key (total order across
@@ -128,7 +129,11 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
             local += n
             yield batch.append_column("docid", ids)
 
-    return part.mapInArrow(add_index, schema=schema).drop("__pid")
+    out = part.mapInArrow(add_index, schema=schema).drop("__pid")
+    if return_handle:
+        # caller unpersists `part` when its passes over the corpus are done
+        return out, part
+    return out
 
 
 _HEAD_TOKENS = ("int return if else for while void static const include def "
