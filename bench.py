@@ -143,6 +143,24 @@ def run_build(cores: int, n_docs: int, workdir: str,
         tq = time.perf_counter()
         search_bmm(spark, f"{workdir}/index", BENCH_QUERIES, k=10).collect()
         qt["batch_bmm"] = round(time.perf_counter() - tq, 3)
+
+        # in-process serving reader (no Spark job per query) — the latency
+        # figure comparable to the reference engine's ms-scale numbers
+        from searchenginepp_spark.operators.local_engine import LocalSearcher
+
+        ls = LocalSearcher(f"{workdir}/index")
+        t0 = time.perf_counter()
+        for q in BENCH_QUERIES:                  # cold: parquet reads
+            ls.search([q], k=10)
+        qt["local_cold_avg_ms"] = round(
+            (time.perf_counter() - t0) / len(BENCH_QUERIES) * 1000, 2)
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):                    # warm: cursor cache hits
+            for q in BENCH_QUERIES:
+                ls.search([q], k=10)
+        qt["local_warm_avg_ms"] = round(
+            (time.perf_counter() - t0) / (reps * len(BENCH_QUERIES)) * 1000, 2)
         res["per_query"] = qt
         return res
     finally:

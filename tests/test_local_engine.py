@@ -1,0 +1,61 @@
+"""LocalSearcher (in-process serving reader) must be rank-identical to the
+Spark query paths, and fast enough to be a serving story (no Spark job per
+query)."""
+
+import time
+
+import pytest
+
+from searchenginepp_spark.operators.index_build import build_index
+from searchenginepp_spark.operators.local_engine import LocalSearcher
+from searchenginepp_spark.operators.query import Searcher
+from searchenginepp_spark.sources.corpus import synthesize_corpus
+
+QUERIES = [
+    (1, "sym1 sym2"),
+    (2, "int return"),
+    (3, "twinkle wonder"),
+    (4, "sym1 sym1"),
+    (5, "nonexistenttermxyz sym3"),
+    (6, "the and from"),
+    (7, "fn_1 fn_2 sym5 int"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("local_idx"))
+    build_index(spark, synthesize_corpus(spark, 300), root,
+                salt_target=64, block_size=16)
+    return root
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "tfidf"])
+def test_local_matches_spark_exact(spark, built, scorer):
+    want = sorted(
+        (r["qid"], r["docid"], r["docno"], r["rank"], round(r["score"], 6))
+        for r in Searcher(spark, built).search(QUERIES, k=10,
+                                               scorer=scorer).collect())
+    got = sorted((q, d, n, r, round(s, 6))
+                 for q, d, n, r, s in
+                 LocalSearcher(built).search(QUERIES, k=10, scorer=scorer))
+    assert got == want
+
+
+def test_local_latency_is_millisecond_scale(built):
+    ls = LocalSearcher(built)
+    ls.search(QUERIES[:1], k=10)                 # warm the datasets
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        ls.search([(1, "sym1 int fn_2")], k=10)
+    avg_ms = (time.perf_counter() - t0) / n * 1000
+    # generous bound: no Spark job may be involved (those cost ~1s)
+    assert avg_ms < 200, f"local query path too slow: {avg_ms:.1f} ms"
+
+
+def test_local_empty_and_missing(built):
+    ls = LocalSearcher(built)
+    assert ls.search([(1, "the and")], k=10) == []
+    res = ls.search([(2, "nonexistenttermxyz sym3")], k=10)
+    assert res and all(q == 2 for q, *_ in res)
