@@ -248,6 +248,12 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_events_daily_json(spark, sf_dir):
+    from searchenginepp_spark.streaming.windowed import daily_event_stats
+
+    return daily_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_mm_byte_histogram(spark, sf_dir):
     """Multimodal plumbing demo: document text as opaque binary payload →
     Arrow-batched numpy byte histogram (operators/multimodal.py)."""
@@ -285,6 +291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "events_daily_json": q_events_daily_json,
         "mm_byte_histogram": q_mm_byte_histogram,
     }
 
@@ -310,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_fingerprint": opipe.sql_doc_fingerprint(),
         "events_windowed_agg": opipe.sql_events_windowed(),
         "events_sessionize": opipe.sql_sessionize(),
+        "events_daily_json": opipe.sql_daily_event_stats(),
         "mm_byte_histogram": opipe.sql_byte_histogram(16),
     }
     return pipeline | {

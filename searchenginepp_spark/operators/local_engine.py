@@ -99,9 +99,13 @@ class LocalSearcher:
 
     def search(self, queries: Iterable[tuple[int, str]],
                k: int = DEFAULT_TOP_K, scorer: str = "bm25",
+               conjunctive: bool = False,
                round_to: int | None = 6) -> list[tuple[int, int, str, int, float]]:
-        """→ [(qid, docid, docno, rank, score)], disjunctive top-k —
-        same results as query.Searcher.search / bmm.search_bmm."""
+        """→ [(qid, docid, docno, rank, score)] top-k — same results as
+        query.Searcher.search (and bmm.search_bmm for the disjunctive
+        case).  Disjunctive uses MaxScore; conjunctive intersects the
+        (selective) lists exactly (reference AND-merge,
+        Index.template.hpp:117-121; missing term ⇒ empty, :65-73)."""
         from searchenginepp_spark.operators.query import query_terms_local
 
         scorer_fn = _make_scorer(scorer, float(self.avgdl), BM25_K1, BM25_B)
@@ -116,10 +120,17 @@ class LocalSearcher:
         need_docids: set[int] = set()
         per_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for qid, terms in by_qid.items():
+            if conjunctive and any(t not in self.df_by_term for t in terms):
+                continue
             lists = [c for t in terms for c in cursors_by_term.get(t, [])]
             if not lists:
                 continue
-            ids, sc = maxscore_query(lists, k, scorer_fn)
+            if conjunctive:
+                ids, sc = self._conjunctive(terms, cursors_by_term, scorer_fn)
+                if ids.size == 0:
+                    continue
+            else:
+                ids, sc = maxscore_query(lists, k, scorer_fn)
             if round_to is not None:
                 sc = np.round(sc, round_to)
             order = np.lexsort((ids, -sc))[:k]
@@ -127,6 +138,42 @@ class LocalSearcher:
             need_docids.update(ids[order].tolist())
 
         docno = self._docnos(sorted(need_docids))
+        return self._format(per_q, docno, out)
+
+    def _conjunctive(self, terms, cursors_by_term, scorer_fn):
+        """Exact AND-merge: per term, union its (salted) sub-lists, then
+        intersect across terms and sum scores."""
+        ids = None
+        acc: dict[int, float] = {}
+        for t in dict.fromkeys(terms):          # dedupe, keep order
+            t_ids, t_sc = [], []
+            for cur in cursors_by_term[t]:
+                i, s = cur.decode_all(scorer_fn)
+                t_ids.append(i)
+                t_sc.append(s)
+            t_ids = np.concatenate(t_ids)
+            t_sc = np.concatenate(t_sc)
+            order = np.argsort(t_ids)
+            t_ids, t_sc = t_ids[order], t_sc[order]
+            if ids is None:
+                ids = t_ids
+                acc = dict(zip(t_ids.tolist(), t_sc.tolist()))
+            else:
+                keep = np.isin(t_ids, ids)
+                t_ids, t_sc = t_ids[keep], t_sc[keep]
+                new_acc = {}
+                for d, s in zip(t_ids.tolist(), t_sc.tolist()):
+                    new_acc[d] = acc[d] + s
+                acc = new_acc
+                ids = t_ids
+            if ids.size == 0:
+                break
+        if not acc:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        a = np.array(sorted(acc), dtype=np.int64)
+        return a, np.array([acc[d] for d in a.tolist()], dtype=np.float64)
+
+    def _format(self, per_q, docno, out):
         for qid in sorted(per_q):
             ids, sc = per_q[qid]
             for rank, (d, s) in enumerate(zip(ids.tolist(), sc.tolist()), 1):

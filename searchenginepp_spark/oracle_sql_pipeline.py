@@ -209,6 +209,15 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
 FROM events GROUP BY 1, 2"""
 
 
+def sql_daily_event_stats() -> str:
+    return """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(AVG(json_extract(props, '$.k')::BIGINT), 6) AS avg_k,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
 def sql_sessionize(gap_seconds: int = 28_800) -> str:
     return f"""
 WITH marked AS (

@@ -65,6 +65,21 @@ def sessionize_events(events: DataFrame,
     )
 
 
+def daily_event_stats(events: DataFrame) -> DataFrame:
+    """(event_date, event_type, n_events, avg_k, sum_value) — scalar-function
+    coverage: JSON field extraction from the props column + date bucketing
+    (functions the reference lacks entirely, SURVEY.md §2.3)."""
+    return (
+        events
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("k"), 6).alias("avg_k"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def stream_event_counts(spark: SparkSession, input_dir: str,
                         checkpoint_dir: str, window: str = WINDOW,
                         watermark: str = WATERMARK):

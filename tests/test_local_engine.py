@@ -59,3 +59,17 @@ def test_local_empty_and_missing(built):
     assert ls.search([(1, "the and")], k=10) == []
     res = ls.search([(2, "nonexistenttermxyz sym3")], k=10)
     assert res and all(q == 2 for q, *_ in res)
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "tfidf"])
+def test_local_conjunctive_matches_spark(spark, built, scorer):
+    want = sorted(
+        (r["qid"], r["docid"], r["docno"], r["rank"], round(r["score"], 6))
+        for r in Searcher(spark, built).search(QUERIES, k=10, scorer=scorer,
+                                               conjunctive=True).collect())
+    got = sorted((q, d, n, r, round(s, 6))
+                 for q, d, n, r, s in
+                 LocalSearcher(built).search(QUERIES, k=10, scorer=scorer,
+                                             conjunctive=True))
+    assert got == want
+    assert got, "conjunctive results empty for every query?"
