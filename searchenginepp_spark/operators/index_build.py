@@ -31,8 +31,6 @@ Scale design:
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -50,8 +48,7 @@ from searchenginepp_spark.functions.codecs import (
     varbyte_value_offsets,
 )
 from searchenginepp_spark.sources.corpus import (
-    assign_docids, assign_docids_window, load_corpus, with_content_sha256,
-    with_docno,
+    assign_docids, assign_docids_window, with_content_sha256, with_docno,
 )
 
 # How many postings a single index row (sub-list) may hold before the term
