@@ -111,3 +111,63 @@ def test_memo_stemmer():
     assert st("running") == "run"
     assert st("running") == "run"
     assert st._memo["running"] == "run"
+
+
+# ------------------------------------------------------- libstemmer parity
+# The reference links the Snowball C library (sb_stemmer_new("english"),
+# WordNormalizer.cpp:12-18).  When the same library is present on this
+# machine, validate our pure-Python Porter2 against it directly via ctypes
+# over a large adversarial vocabulary.
+
+def _load_libstemmer():
+    import ctypes
+    for name in ("libstemmer.so.0d", "libstemmer.so.0", "libstemmer.so"):
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    return None
+
+
+@pytest.mark.skipif(_load_libstemmer() is None,
+                    reason="libstemmer shared library not available")
+def test_parity_with_snowball_c_library():
+    import ctypes
+    import random
+    import string
+
+    lib = _load_libstemmer()
+    lib.sb_stemmer_new.restype = ctypes.c_void_p
+    lib.sb_stemmer_new.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.sb_stemmer_stem.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lib.sb_stemmer_stem.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.sb_stemmer_length.restype = ctypes.c_int
+    lib.sb_stemmer_length.argtypes = [ctypes.c_void_p]
+    st = lib.sb_stemmer_new(b"english", None)
+    assert st, "libstemmer has no english module?"
+
+    def sb_stem(w: str) -> str:
+        b = w.encode()
+        r = lib.sb_stemmer_stem(st, b, len(b))
+        return bytes(r[:lib.sb_stemmer_length(st)]).decode()
+
+    from searchenginepp_spark.functions.stop_words import stop_words
+
+    ours = MemoStemmer()
+    vocab = set(stop_words())
+    rng = random.Random(42)
+    for _ in range(20000):
+        vocab.add("".join(rng.choice(string.ascii_lowercase)
+                          for _ in range(rng.randint(1, 12))))
+    for suf in ("ization ational fulness biliti lessli tional ation iveness "
+                "ousness alism aliti ousli iviti fulli entli enci anci abli "
+                "izer ator alli bli ogi li ing ed edly ingly s es ies ment "
+                "ness ful ative icate iciti ical alize ance ence able ible "
+                "ant ement ent ism ate iti ous ive ize ion al er ic y ly").split():
+        for base in ("connect", "rapid", "nation", "sens", "commun",
+                     "activ", "hopp", "tripl", "rat", "r", "xx"):
+            vocab.add(base + suf)
+
+    bad = [(w, ours(w), sb_stem(w)) for w in sorted(vocab)
+           if ours(w) != sb_stem(w)]
+    assert not bad, f"{len(bad)} mismatches, e.g. {bad[:5]}"
