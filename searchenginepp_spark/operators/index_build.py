@@ -457,17 +457,25 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                         term_partitions, block_size) -> IndexPaths:
     # two independent cheap Arrow passes over the (persisted) corpus beat
     # one pass that materializes map<string,int> rows (~10x on this stage):
-    # pass 1 → docmap with doclen; pass 2 → exploded flat postings
+    # pass 1 → docmap with doclen; pass 2 → exploded flat postings.
+    # Collection stats piggyback on the docmap write via the Observation
+    # API — no separate aggregation job over the table.
+    from pyspark.sql import Observation
+
+    obs = Observation("collection_stats")
     docmap = corpus.withColumn(
         "doclen", doclen_udf(stem)(F.col("content"))
     ).select("docid", "docno", "repo", "path", "commit", "lang", "doclen",
-             "content_sha256")
+             "content_sha256").observe(
+        obs, F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doclen").alias("sum_doclen"))
     docmap.write.mode("overwrite").parquet(paths.docmap)
 
-    stats = build_stats(spark.read.parquet(paths.docmap))
-    stats.write.mode("overwrite").parquet(paths.stats)
-    srow = spark.read.parquet(paths.stats).collect()[0]
-    n_docs, sum_doclen = srow["n_docs"], srow["sum_doclen"]
+    n_docs = int(obs.get["n_docs"])
+    sum_doclen = int(obs.get["sum_doclen"] or 0)
+    (spark.createDataFrame([(n_docs, sum_doclen)],
+                           "n_docs long, sum_doclen long")
+     .write.mode("overwrite").parquet(paths.stats))
     avgdl = sum_doclen / n_docs if n_docs else 0.0
 
     if term_partitions is None:
