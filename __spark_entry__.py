@@ -137,11 +137,14 @@ def q_bm25_compressed_index(spark, sf_dir):
 
 def q_bm25_bmm_index(spark, sf_dir):
     """Block-Max MaxScore pruned path over the same persisted index —
-    must be rank-identical to the exact path (and to the DuckDB oracle)."""
+    must be rank-identical to the exact path (and to the DuckDB oracle).
+    n_ranges=4 forces the two-level docid-range fan-out (level-1 slice →
+    per-range MaxScore → level-2 merge) so the oracle gates the plan shape
+    that actually runs at scale, not just the single-task degenerate."""
     from searchenginepp_spark.operators.bmm import search_bmm
 
     res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET, k=TOP_K,
-                     scorer="bm25", stem=False)
+                     scorer="bm25", stem=False, n_ranges=4)
     return _docid_from_docno(res)
 
 

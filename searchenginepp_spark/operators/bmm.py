@@ -9,16 +9,26 @@ Reference algorithm (/root/reference/src/index/Index.cpp:15-133):
     beat θ (the current k-th best score), skipping whole blocks via stored
     per-block maxima and offsets (nextGEQ, Index.cpp:65-90, 181-214).
 
-Spark re-expression: the per-query adaptive scan has no Catalyst analogue
-(SURVEY.md §4), so it runs inside `applyInPandas` grouped by qid — one task
-per query, each task touching only that query's (term, shard) rows, which
-arrive already pruned by a pushed-down `term IN (...)` parquet predicate and
-carry the σ / per-block metadata written by the sigma pass.  All block
-decode/score math is numpy-vectorized; pruning decisions are per *list* and
-per *block*, never per posting in Python.
+Spark re-expression — TWO-LEVEL top-k (the analogue of the reference's
+doc-partitioned sub-indexes db_0..4 fanned out across workers and merged,
+src/engine.cpp:99-126):
+  level 1  each query's matching (term, shard) rows are SLICED by docid
+           range at block granularity (pure byte slicing on the stored skip
+           offsets — no decode), shuffled by (qid, range_id), and each
+           (qid, range) task runs MaxScore over its closed sub-collection.
+           Docid ranges are disjoint and every list is cut by the SAME
+           boundaries, so each document's full score is computed in exactly
+           one task — no single task ever holds a head term's whole posting
+           set (the scale fix for the round-1 per-qid gather).
+  level 2  the per-range survivor sets (≤ k rows each, exact scores) are
+           merged per qid with one window top-k — exact because the global
+           top-k is a subset of the union of per-range top-k's (ranges are
+           disjoint in docid).
+When every query's matched postings fit one task (Σ df ≤ range_target) the
+single-task path is used directly — same kernel, no slicing pass.
 
-The variant here is term-at-a-time MaxScore (Turtle & Flood) with block-max
-skipping, which batches cleanly:
+The kernel is term-at-a-time MaxScore (Turtle & Flood) with block-max
+skipping:
   phase 1  process lists in decreasing σ order, fully, while the σ-sum of
            the still-unprocessed lists ≥ θ (a new doc could still enter
            top-k);
@@ -27,14 +37,21 @@ skipping, which batches cleanly:
            score + this list's σ + later lists' σ ≥ θ, and only in blocks
            whose stored block-max keeps that bound alive.
 
+Block decode is O(block), not O(remaining list): every block's byte/bit span
+is bounded by the NEXT block's stored offsets (the same contract as the
+reference's nextGEQ re-seating decoders at stored offsets, Index.cpp:181-214).
+
 Correctness: accumulated scores are lower bounds that only grow and θ is the
 k-th best accumulated score, so every prune discards a doc whose true final
 score is strictly below the final θ — the surviving top-k (with the
 (score desc, docid asc) canonical tie-break of query.py) equals exact DAAT.
-Unlike the reference we do NOT quantize the stored bounds (types.hpp:120-131
-floor-truncates to 2 decimals, which can under-state a block max and prune a
-true top-k doc on <0.01 margins — SURVEY.md §4); exact doubles keep the
-guarantee airtight.
+Because the driver contract ranks on scores ROUNDED to `round_to` decimals,
+pruning tests against θ − ε with ε = 10^-round_to: a doc pruned at θ − ε has
+round(score) strictly below round(θ), so it can never rounded-tie the k-th
+doc (ADVICE round 1).  Unlike the reference we do NOT quantize the stored
+bounds (types.hpp:120-131 floor-truncates to 2 decimals, which can
+under-state a block max and prune a true top-k doc on <0.01 margins —
+SURVEY.md §4); exact doubles keep the guarantee airtight.
 
 Salted head terms: a term split into docid-hashed sub-shards contributes one
 independent list per sub-shard (disjoint docid sets, same idf), which
@@ -48,8 +65,9 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from searchenginepp_spark.config import DEFAULT_TOP_K
 from searchenginepp_spark.functions.codecs import (
@@ -57,6 +75,11 @@ from searchenginepp_spark.functions.codecs import (
 )
 
 _RESULT_SCHEMA = "qid long, docid long, rank long, score double"
+_PARTIAL_SCHEMA = "qid long, docid long, score double"
+
+# Max postings of one query a single MaxScore task may hold before the
+# query is fanned out over docid ranges (level-1/level-2 split).
+RANGE_TARGET_POSTINGS = 1 << 21
 
 
 def _skip_field(entry, name):
@@ -64,11 +87,23 @@ def _skip_field(entry, name):
     return entry[name] if isinstance(entry, dict) else getattr(entry, name)
 
 
+def _row_field(row, name, default=None):
+    if isinstance(row, dict):
+        return row.get(name, default)
+    return getattr(row, name, default)
+
+
 class _ListCursor:
-    """One (term, shard) posting list: lazy block decode over the blobs."""
+    """One (term, shard) posting list: lazy block decode over the blobs.
+
+    When the row carries (lo, hi) the decoded postings are masked to the
+    docid range [lo, hi) — used by the two-level path where a boundary
+    block is replicated to both adjacent ranges but each doc must be scored
+    in exactly one."""
 
     __slots__ = ("sigma", "blocks", "docid_blob", "tf_blob", "doclen_blob",
-                 "idf", "n_blocks", "last_docids", "block_ubs", "_cache")
+                 "idf", "n_blocks", "last_docids", "block_ubs", "_cache",
+                 "_d_ends", "_l_ends", "_t_bit_ends", "lo", "hi")
 
     def __init__(self, row, scorer: str):
         # stored σ / block maxima are idf-free score PARTS (index_build.py
@@ -87,12 +122,24 @@ class _ListCursor:
             [_skip_field(b, "last_docid") for b in self.blocks], dtype=np.int64)
         self.block_ubs = self.idf * np.array(
             [_skip_field(b, ub_field) for b in self.blocks], dtype=np.float64)
+        # Per-block END offsets = next block's start (blob end for the last
+        # block): decode_block slices exactly one block's span, making block
+        # decode O(block) regardless of list length (Index.cpp:181-214).
+        d_offs = [int(_skip_field(b, "docid_off")) for b in self.blocks]
+        l_offs = [int(_skip_field(b, "doclen_off")) for b in self.blocks]
+        t_offs = [int(_skip_field(b, "tf_bit_off")) for b in self.blocks]
+        self._d_ends = d_offs[1:] + [len(self.docid_blob)]
+        self._l_ends = l_offs[1:] + [len(self.doclen_blob)]
+        self._t_bit_ends = t_offs[1:] + [8 * len(self.tf_blob)]
+        lo = _row_field(row, "lo")
+        hi = _row_field(row, "hi")
+        self.lo = None if lo is None else int(lo)
+        self.hi = None if hi is None else int(hi)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def decode_block(self, b: int, scorer_fn) -> tuple[np.ndarray, np.ndarray]:
-        """→ (docids, scores) of block b; decodes only that block's byte/bit
-        span (the Spark analogue of the reference's nextGEQ re-seating
-        decoders at stored offsets, Index.cpp:181-214)."""
+        """→ (docids, scores) of block b; touches only that block's
+        byte/bit span (bounded by the next block's stored offsets)."""
         hit = self._cache.get(b)
         if hit is not None:
             return hit
@@ -102,12 +149,23 @@ class _ListCursor:
         t_off = int(_skip_field(e, "tf_bit_off"))
         l_off = int(_skip_field(e, "doclen_off"))
         base = np.uint64(_skip_field(e, "prev_docid"))
-        gaps = varbyte_decode(self.docid_blob[d_off:], count=n)
+        gaps = varbyte_decode(self.docid_blob[d_off:self._d_ends[b]], count=n)
         docids = (np.cumsum(gaps, dtype=np.uint64) + base).astype(np.int64)
-        tfs = unary_decode(self.tf_blob, count=n, bit_offset=t_off)
-        doclens = varbyte_decode(self.doclen_blob[l_off:], count=n)
+        # unary span: byte-align the start, end at the next block's bit
+        # offset rounded up (pad bits past the last terminator are ignored
+        # because unary_decode stops after n values)
+        tb0 = t_off >> 3
+        tb1 = (self._t_bit_ends[b] + 7) >> 3
+        tfs = unary_decode(self.tf_blob[tb0:tb1], count=n,
+                           bit_offset=t_off & 7)
+        doclens = varbyte_decode(self.doclen_blob[l_off:self._l_ends[b]],
+                                 count=n)
         scores = scorer_fn(tfs.astype(np.float64), doclens.astype(np.float64),
                            self.idf)
+        if self.lo is not None:
+            m = (docids >= self.lo) & (docids < self.hi)
+            if not m.all():
+                docids, scores = docids[m], scores[m]
         out = (docids, scores)
         self._cache[b] = out
         return out
@@ -147,9 +205,14 @@ def _theta(acc_sc: np.ndarray, k: int) -> float:
     return float(np.partition(acc_sc, acc_sc.size - k)[acc_sc.size - k])
 
 
-def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn) -> tuple[np.ndarray, np.ndarray]:
+def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
+                   eps: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore over one query's posting lists → (docids, scores) of the
-    survivors (superset of the true top-k, all with exact scores)."""
+    survivors (superset of the true top-k, all with exact scores).
+
+    eps: pruning slack for rounded ranking — every comparison against θ uses
+    θ − eps, so a doc whose ROUNDED score (at 10^-eps granularity) could tie
+    the k-th doc is never pruned (see module docstring)."""
     lists = sorted(lists, key=lambda c: -c.sigma)
     sigmas = np.array([c.sigma for c in lists], dtype=np.float64)
     # rest[j] = σ-sum of lists AFTER j (still unprocessed when j is current)
@@ -160,7 +223,7 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn) -> tuple[np.ndar
     theta = -np.inf
     j = 0
     # phase 1 — full scoring while an unseen doc could still reach top-k
-    while j < len(lists) and sigmas[j] + rest[j] >= theta:
+    while j < len(lists) and sigmas[j] + rest[j] >= theta - eps:
         ids, sc = lists[j].decode_all(scorer_fn)
         acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, ids, sc)
         theta = _theta(acc_sc, k)
@@ -168,7 +231,7 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn) -> tuple[np.ndar
     # phase 2 — probe remaining lists only at surviving candidates
     for jj in range(j, len(lists)):
         cur = lists[jj]
-        keep = acc_sc + sigmas[jj] + rest[jj] >= theta
+        keep = acc_sc + sigmas[jj] + rest[jj] >= theta - eps
         if not keep.any():
             continue
         cand_ids = acc_ids[keep]
@@ -180,7 +243,7 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn) -> tuple[np.ndar
         cand_ids, cand_pos, blk = cand_ids[in_range], cand_pos[in_range], blk[in_range]
         # block-max refinement: candidate survives only if this block's max
         # keeps the bound alive
-        alive = acc_sc[cand_pos] + cur.block_ubs[blk] + rest[jj] >= theta
+        alive = acc_sc[cand_pos] + cur.block_ubs[blk] + rest[jj] >= theta - eps
         if not alive.any():
             continue
         cand_ids, cand_pos, blk = cand_ids[alive], cand_pos[alive], blk[alive]
@@ -196,23 +259,119 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn) -> tuple[np.ndar
         theta = _theta(acc_sc, k)
 
     if acc_sc.size > k:
-        # drop provably-out docs (partial-scored prunees are below θ)
-        keep = acc_sc >= theta
+        # drop provably-out docs; partial-scored prunees sit strictly below
+        # θ − eps (see proof sketch in the module docstring), so survivors
+        # all carry exact scores
+        keep = acc_sc >= theta - eps
         acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
     return acc_ids, acc_sc
+
+
+# -------------------------------------------------- level-1 range slicing
+
+_EXTRA_FIELDS = [StructField("qid", LongType()), StructField("df_global", LongType()),
+                 StructField("range_id", LongType()), StructField("lo", LongType()),
+                 StructField("hi", LongType())]
+
+
+def _slice_schema(shard_schema: StructType) -> StructType:
+    keep = [f for f in shard_schema.fields
+            if f.name not in ("qid", "df_global", "n_docs_f")]
+    return StructType(keep + _EXTRA_FIELDS)
+
+
+def _slice_rows_fn(bounds: np.ndarray, col_names: list[str]):
+    """mapInPandas kernel: cut each (qid, term-shard) row into per-docid-range
+    sub-rows at block granularity.  Pure metadata/byte slicing on the stored
+    skip offsets — no posting is decoded.  A block straddling a boundary is
+    replicated to each overlapped range; the MaxScore task masks decoded
+    docids to [lo, hi), so every posting is SCORED exactly once."""
+    n_ranges = bounds.size + 1
+
+    def fn(batches):
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in col_names}
+            for row in pdf.itertuples(index=False):
+                blocks = list(row.skips)
+                nb = len(blocks)
+                prevs = np.fromiter(
+                    (_skip_field(b, "prev_docid") for b in blocks),
+                    dtype=np.int64, count=nb)
+                lasts = np.fromiter(
+                    (_skip_field(b, "last_docid") for b in blocks),
+                    dtype=np.int64, count=nb)
+                # block b holds docids in (prevs[b], lasts[b]]; both arrays
+                # are non-decreasing, so each range's blocks are contiguous
+                r0 = np.searchsorted(bounds, prevs + 1, side="right")
+                r1 = np.searchsorted(bounds, lasts, side="right")
+                d_offs = [int(_skip_field(b, "docid_off")) for b in blocks]
+                l_offs = [int(_skip_field(b, "doclen_off")) for b in blocks]
+                t_offs = [int(_skip_field(b, "tf_bit_off")) for b in blocks]
+                d_blob = bytes(row.docid_blob)
+                t_blob = bytes(row.tf_blob)
+                l_blob = bytes(row.doclen_blob)
+                d_ends = d_offs[1:] + [len(d_blob)]
+                l_ends = l_offs[1:] + [len(l_blob)]
+                t_bit_ends = t_offs[1:] + [8 * len(t_blob)]
+                bm_ubs = [float(_skip_field(b, "bm25_part_ub")) for b in blocks]
+                tf_ubs = [float(_skip_field(b, "tfidf_part_ub")) for b in blocks]
+                ns = [int(_skip_field(b, "n_postings")) for b in blocks]
+                for p in range(int(r0[0]), int(r1[-1]) + 1):
+                    b0 = int(np.searchsorted(r1, p, side="left"))
+                    b1 = int(np.searchsorted(r0, p, side="right")) - 1
+                    if b1 < b0:
+                        continue
+                    d0, tb0 = d_offs[b0], t_offs[b0] >> 3
+                    l0 = l_offs[b0]
+                    skips = [{
+                        "last_docid": int(lasts[b]),
+                        "prev_docid": int(prevs[b]),
+                        "n_postings": ns[b],
+                        "docid_off": d_offs[b] - d0,
+                        "tf_bit_off": t_offs[b] - (tb0 << 3),
+                        "doclen_off": l_offs[b] - l0,
+                        "bm25_part_ub": bm_ubs[b],
+                        "tfidf_part_ub": tf_ubs[b],
+                    } for b in range(b0, b1 + 1)]
+                    out["term"].append(row.term)
+                    out["shard"].append(row.shard)
+                    out["df_shard"].append(sum(ns[b0:b1 + 1]))
+                    out["first_docid"].append(int(prevs[b0]) + 1)
+                    out["last_docid"].append(int(lasts[b1]))
+                    out["docid_blob"].append(d_blob[d0:d_ends[b1]])
+                    out["tf_blob"].append(t_blob[tb0:(t_bit_ends[b1] + 7) >> 3])
+                    out["doclen_blob"].append(l_blob[l0:l_ends[b1]])
+                    out["sigma_bm25_part"].append(max(bm_ubs[b0:b1 + 1]))
+                    out["sigma_tfidf_part"].append(max(tf_ubs[b0:b1 + 1]))
+                    out["skips"].append(skips)
+                    out["qid"].append(row.qid)
+                    out["df_global"].append(row.df_global)
+                    out["range_id"].append(p)
+                    out["lo"].append(0 if p == 0 else int(bounds[p - 1]))
+                    out["hi"].append(int(bounds[p]) if p < n_ranges - 1
+                                     else np.iinfo(np.int64).max)
+            yield pd.DataFrame(out, columns=col_names)
+
+    return fn
 
 
 def search_bmm(spark: SparkSession, index_root: str,
                queries: Iterable[tuple[int, str]], k: int = DEFAULT_TOP_K,
                scorer: str = "bm25", stem: bool = True,
-               round_to: int | None = 6) -> DataFrame:
+               round_to: int | None = 6, n_ranges: int | None = None,
+               range_target: int = RANGE_TARGET_POSTINGS) -> DataFrame:
     """Top-k disjunctive search over a persisted index via Block-Max
     MaxScore.  Same results as query.search (the exact path); prunes block
     decodes instead of decoding every posting.
 
     Plan: parquet scan of the shard table with `term IN (...)` pushed down →
-    broadcast-join the per-query term sets → applyInPandas per qid runs
-    MaxScore → broadcast-join docnos for the final k rows.
+    broadcast-join the per-query term sets → two-level top-k (see module
+    docstring): slice lists by docid range → shuffle by (qid, range_id) →
+    MaxScore per range → per-qid window merge → broadcast-join docnos.
+
+    n_ranges: docid-range fan-out per query; None picks
+    ceil(max_query_postings / range_target) so one task never holds more
+    than ~range_target postings.  1 collapses to the single-task path.
     """
     from searchenginepp_spark.config import BM25_B, BM25_K1
     from searchenginepp_spark.operators.index_build import IndexPaths
@@ -232,6 +391,14 @@ def search_bmm(spark: SparkSession, index_root: str,
             [], schema="qid long, docid long, docno string, rank long, score double")
 
     lexicon = spark.read.parquet(paths.lexicon).filter(F.col("term").isin(terms))
+    lex_rows = lexicon.collect()          # |query terms| rows — tiny
+    df_by_term = {r["term"]: int(r["df"]) for r in lex_rows}
+    if n_ranges is None:
+        worst = max(
+            (sum(df_by_term.get(t, 0) for qq, t in qt if qq == qid)
+             for qid in {q for q, _ in qt}), default=0)
+        n_ranges = max(1, -(-worst // range_target))
+
     shards = (
         spark.read.parquet(paths.shards)
         .filter(F.col("term").isin(terms))
@@ -242,20 +409,63 @@ def search_bmm(spark: SparkSession, index_root: str,
     scorer_fn = _make_scorer(scorer, float(avgdl), BM25_K1, BM25_B)
     kk = int(k)
     rnd = round_to
+    eps = 10.0 ** -rnd if rnd is not None else 0.0
 
-    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+    if n_ranges <= 1:
+        def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(pdf["qid"].iloc[0])
+            lists = [_ListCursor(row, scorer)
+                     for row in pdf.itertuples(index=False)]
+            ids, sc = maxscore_query(lists, kk, scorer_fn, eps=eps)
+            if rnd is not None:
+                sc = np.round(sc, rnd)
+            order = np.lexsort((ids, -sc))[:kk]
+            return pd.DataFrame({
+                "qid": np.full(order.size, qid, dtype=np.int64),
+                "docid": ids[order],
+                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                "score": sc[order],
+            })
+
+        results = shards.groupBy("qid").applyInPandas(
+            run_query, schema=_RESULT_SCHEMA)
+        return resolve_docnos(results, spark.read.parquet(paths.docmap))
+
+    # ---- two-level path: slice by docid range, MaxScore per range, merge
+    span = spark.read.parquet(paths.shards).filter(
+        F.col("term").isin(terms)).agg(
+        F.min("first_docid").alias("lo"), F.max("last_docid").alias("hi")
+    ).collect()[0]                        # metadata columns only — blobs pruned
+    d_lo, d_hi = int(span["lo"]), int(span["hi"])
+    bounds = np.array(
+        [d_lo + (d_hi - d_lo + 1) * i // n_ranges
+         for i in range(1, n_ranges)], dtype=np.int64)
+
+    out_schema = _slice_schema(spark.read.parquet(paths.shards).schema)
+    col_names = [f.name for f in out_schema.fields]
+    sliced = shards.drop("n_docs_f").mapInPandas(
+        _slice_rows_fn(bounds, col_names), schema=out_schema)
+    sliced = sliced.withColumn("n_docs_f", F.lit(float(n_docs)))
+
+    def run_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
         lists = [_ListCursor(row, scorer) for row in pdf.itertuples(index=False)]
-        ids, sc = maxscore_query(lists, kk, scorer_fn)
+        ids, sc = maxscore_query(lists, kk, scorer_fn, eps=eps)
         if rnd is not None:
             sc = np.round(sc, rnd)
         order = np.lexsort((ids, -sc))[:kk]
         return pd.DataFrame({
             "qid": np.full(order.size, qid, dtype=np.int64),
             "docid": ids[order],
-            "rank": np.arange(1, order.size + 1, dtype=np.int64),
             "score": sc[order],
         })
 
-    results = shards.groupBy("qid").applyInPandas(run_query, schema=_RESULT_SCHEMA)
+    partials = sliced.groupBy("qid", "range_id").applyInPandas(
+        run_partial, schema=_PARTIAL_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    results = (
+        partials.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= kk)
+        .select("qid", "docid", "rank", "score")
+    )
     return resolve_docnos(results, spark.read.parquet(paths.docmap))

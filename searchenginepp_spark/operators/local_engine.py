@@ -109,6 +109,7 @@ class LocalSearcher:
         from searchenginepp_spark.operators.query import query_terms_local
 
         scorer_fn = _make_scorer(scorer, float(self.avgdl), BM25_K1, BM25_B)
+        eps = 10.0 ** -round_to if round_to is not None else 0.0
         qt = query_terms_local(queries, stem=self.stem)
         by_qid: dict[int, list[str]] = {}
         for qid, term in qt:
@@ -130,7 +131,7 @@ class LocalSearcher:
                 if ids.size == 0:
                     continue
             else:
-                ids, sc = maxscore_query(lists, k, scorer_fn)
+                ids, sc = maxscore_query(lists, k, scorer_fn, eps=eps)
             if round_to is not None:
                 sc = np.round(sc, round_to)
             order = np.lexsort((ids, -sc))[:k]

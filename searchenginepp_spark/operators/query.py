@@ -282,9 +282,10 @@ class Searcher:
         return resolve_docnos(results, self.docmap)
 
     def search_bmm(self, queries: Iterable[tuple[int, str]],
-                   k: int = DEFAULT_TOP_K, scorer: str = "bm25") -> DataFrame:
+                   k: int = DEFAULT_TOP_K, scorer: str = "bm25",
+                   n_ranges: int | None = None) -> DataFrame:
         """Block-Max MaxScore fast path (disjunctive) over this index."""
         from searchenginepp_spark.operators.bmm import search_bmm
 
         return search_bmm(self.spark, self.paths.root, queries, k=k,
-                          scorer=scorer, stem=self.stem)
+                          scorer=scorer, stem=self.stem, n_ranges=n_ranges)

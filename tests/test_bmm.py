@@ -132,3 +132,72 @@ def test_maxscore_prunes_blocks(spark, built):
     decoded = sum(len(c._cache) for c in by_term["int"])
     assert decoded < total_blocks, (
         f"head-term lists fully decoded ({decoded}/{total_blocks}) — pruning inert")
+
+
+@pytest.mark.parametrize("n_ranges", [2, 4, 7])
+def test_bmm_two_level_rank_identical(spark, built, n_ranges):
+    """The docid-range fan-out (level-1 slice → per-range MaxScore →
+    level-2 merge) must stay rank-identical to the exact path for any
+    range count, including ones that don't divide the docid span."""
+    exact = search(spark, built, QUERIES, k=10)
+    bmm = search_bmm(spark, built, QUERIES, k=10, n_ranges=n_ranges)
+    assert _rows(bmm) == _rows(exact)
+
+
+def test_bmm_auto_ranges_engage(spark, built):
+    """With range_target below the head-term df the auto fan-out must pick
+    n_ranges > 1 and still match the exact path."""
+    exact = search(spark, built, [(2, "int return")], k=10)
+    bmm = search_bmm(spark, built, [(2, "int return")], k=10,
+                     range_target=32)
+    assert _rows(bmm) == _rows(exact)
+
+
+def test_two_level_plan_shape(spark, built):
+    """Scale-shape invariant: in the two-level plan the blob shuffle is
+    keyed by (qid, range_id) — never by qid alone — so no single task holds
+    a head term's full posting set (reference fans one query across
+    doc-partitioned workers, engine.cpp:99-126)."""
+    df = search_bmm(spark, built, QUERIES[:2], k=10, n_ranges=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    groups = re.findall(r"FlatMapGroupsInPandas \[([^\]]*)\]", plan)
+    assert groups, "no applyInPandas stage found in plan"
+    for keys in groups:  # the only blob-carrying shuffle is the MaxScore one
+        assert "range_id" in keys, f"blob shuffle keyed by qid alone: {keys}"
+    assert "hashpartitioning(qid" in plan  # level-2 merge window (tiny rows)
+
+
+def test_block_decode_is_block_bounded(spark, built):
+    """decode_block(b) must touch only block b's byte/bit span: decoding
+    from blobs TRUNCATED at the block's end offsets must give identical
+    output (O(block), not O(remaining list) — Index.cpp:181-214)."""
+    row = (
+        spark.read.parquet(f"{built}/index_shards")
+        .filter(F.size("skips") >= 3).limit(1).collect()
+    )[0]
+
+    class R:
+        sigma_bm25_part = row["sigma_bm25_part"]
+        sigma_tfidf_part = row["sigma_tfidf_part"]
+        skips = row["skips"]
+        docid_blob = row["docid_blob"]
+        tf_blob = row["tf_blob"]
+        doclen_blob = row["doclen_blob"]
+        df_global = 10
+        n_docs_f = 100.0
+
+    fn = _make_scorer("bm25", 100.0, 0.82, 0.68)
+    full = _ListCursor(R, "bm25")
+    for b in range(full.n_blocks):
+        want_ids, want_sc = full.decode_block(b, fn)
+
+        class T(R):  # truncate every blob right at block b's end
+            docid_blob = bytes(row["docid_blob"])[:full._d_ends[b]]
+            doclen_blob = bytes(row["doclen_blob"])[:full._l_ends[b]]
+            tf_blob = bytes(row["tf_blob"])[:(full._t_bit_ends[b] + 7) >> 3]
+            skips = row["skips"][:b + 1]
+
+        got_ids, got_sc = _ListCursor(T, "bm25").decode_block(b, fn)
+        assert (got_ids == want_ids).all()
+        assert np.allclose(got_sc, want_sc)
