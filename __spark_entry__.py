@@ -156,6 +156,7 @@ EMB_DIMS = 64
 NEAR_DUP_COS = 0.45
 NEAR_DUP_PLANES = 3      # loose buckets at this tiny SF so candidates survive
 JACCARD_T = 0.5
+JACCARD_MAX_SHINGLE_DF = 256   # fan-out cap, applied on BOTH engines
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -177,7 +178,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from searchenginepp_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_pipeline_docs(spark, sf_dir),
-                               n=3, threshold=JACCARD_T)
+                               n=3, threshold=JACCARD_T,
+                               max_shingle_df=JACCARD_MAX_SHINGLE_DF)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -305,7 +307,8 @@ def oracle_sql() -> dict[str, str]:
     topk_bm25 = osql.sql_topk("bm25", conjunctive=False)
     pipeline = {
         "dedup_exact": opipe.sql_dedup_exact(),
-        "dedup_ngram_jaccard": opipe.sql_ngram_jaccard(n=3, threshold=JACCARD_T),
+        "dedup_ngram_jaccard": opipe.sql_ngram_jaccard(
+            n=3, threshold=JACCARD_T, max_shingle_df=JACCARD_MAX_SHINGLE_DF),
         "dedup_minhash_lsh": opipe.sql_minhash_lsh(n=3),
         "dedup_simhash_pairs": opipe.sql_simhash_pairs(
             max_hamming=SIMHASH_MAX_HAMMING),
@@ -331,7 +334,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_disjunctive": topk_bm25,
         "bm25_topk_conjunctive": osql.sql_topk("bm25", conjunctive=True),
         "tfidf_topk_disjunctive": osql.sql_topk("tfidf", conjunctive=False),
-        # bm25_topk_stemmed: rows-only (stemming not SQL-expressible)
+        # stemmed: SQL-expressible via the (token -> stem) lookup fixture
+        # materialized from the ctypes-validated Porter2
+        # (scripts/gen_stem_map.py; data/stem_map.parquet)
+        "bm25_topk_stemmed": osql.sql_topk("bm25", conjunctive=False,
+                                           stemmed=True),
         "bm25_topk_compressed_index": topk_bm25,
         "bm25_topk_bmm_index": topk_bm25,
     }

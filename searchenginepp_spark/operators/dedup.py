@@ -81,9 +81,16 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 256) -> DataFrame:
     """(docid_a, docid_b, jaccard) for pairs with Jaccard ≥ threshold over
-    distinct n-gram shingle sets."""
+    distinct n-gram shingle sets.
+
+    max_shingle_df caps the inverted-index join fan-out: shingles appearing
+    in more than this many docs are dropped BEFORE the self-join (standard
+    practice — a ubiquitous shingle like "int x =" would otherwise join
+    quadratically).  Capped by DEFAULT so the scale hazard can't happen by
+    omission; pass None to opt out explicitly (exact semantics, unsafe at
+    volume — prefer minhash_lsh_candidates there)."""
     sh = doc_shingles(docs, n)
     if max_shingle_df is not None:
         rare = (sh.groupBy("shingle").count()

@@ -212,21 +212,35 @@ def search_corpus(spark: SparkSession, docs: DataFrame,
     """One-shot search over a corpus DataFrame with columns (docid, content)
     — the flagship relational plan, end-to-end Catalyst except the tokenizer
     UDF. Used by the driver contract and the DuckDB-oracle checks.
+
+    The corpus is tokenized exactly ONCE: the exploded postings are
+    persisted and serve stats (sum_doclen = Σtf), the lexicon agg, and the
+    scoring join; without the persist Catalyst would recompute the tokenizer
+    UDF for each consumer (~3x the dominant cost).  n_docs comes from a
+    plain count (zero-token docs must still count toward N/avgdl).  The
+    result is materialized eagerly so the persist can be released
+    deterministically — it is a k·|queries|-row top-k, small by contract.
     """
     from searchenginepp_spark.operators.index_build import (
-        build_global_lexicon, doclen_udf, explode_postings,
+        build_global_lexicon, explode_postings,
     )
 
-    stats = docs.withColumn("doclen", doclen_udf(stem)(F.col("content"))).agg(
-        F.count("*").alias("n"), F.sum("doclen").alias("s")).collect()[0]
-    n_docs = int(stats["n"])
-    avgdl = (stats["s"] / n_docs) if n_docs else 0.0
-    postings = explode_postings(docs, stem=stem)
-    lexicon = build_global_lexicon(postings)
-    qterms = query_terms_df(spark, query_terms_local(queries, stem=stem))
-    scored = score_postings(postings, lexicon, qterms, n_docs, avgdl, scorer)
-    return topk(scored, qterms, lexicon, k=k, conjunctive=conjunctive,
-                round_to=round_to)
+    n_docs = docs.count()
+    postings = explode_postings(docs, stem=stem).persist()
+    try:
+        s = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"]
+        avgdl = ((s or 0) / n_docs) if n_docs else 0.0
+        lexicon = build_global_lexicon(postings)
+        qterms = query_terms_df(spark, query_terms_local(queries, stem=stem))
+        scored = score_postings(postings, lexicon, qterms, n_docs, avgdl,
+                                scorer)
+        result = topk(scored, qterms, lexicon, k=k, conjunctive=conjunctive,
+                      round_to=round_to)
+        rows = result.collect()
+    finally:
+        postings.unpersist()
+    return spark.createDataFrame(
+        rows, schema="qid long, docid long, rank long, score double")
 
 
 def search(spark: SparkSession, index_root: str,

@@ -126,7 +126,51 @@ def doc_fingerprint(docs: DataFrame, k: int = FP_GRAM_LEN,
     (mod `mod`); the doc fingerprint is the md5 of the sorted distinct
     selected hashes.  Mod-sampling (the winnowing family) keeps selection
     position-independent, so shared substrings of two docs select the SAME
-    grams — the property plagiarism/overlap detection needs."""
+    grams — the property plagiarism/overlap detection needs.
+
+    Implementation: one mapInPandas pass that slides over each doc in-process
+    — NO per-gram row explosion (the SQL-expression variant below inflates
+    ~n_chars rows/doc, a ~100x row blow-up at volume).  Output and selection
+    semantics are identical (pinned by tests/test_text_analysis.py parity);
+    the DuckDB oracle keeps the declarative form."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    kk, md = int(k), int(mod)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docids, n_grams, n_sel, fps = [], [], [], []
+            for docid, content in zip(pdf["docid"], pdf["content"]):
+                lt = (content if content is not None else "").lower()
+                n = max(len(lt) - (kk - 1), 0)
+                sel: set[int] = set()
+                for i in range(n):
+                    h = int(hashlib.md5(
+                        lt[i:i + kk].encode("utf-8")).hexdigest()[:7], 16)
+                    if h % md == 0:
+                        sel.add(h)
+                docids.append(int(docid))
+                n_grams.append(n)
+                n_sel.append(len(sel))
+                fps.append(hashlib.md5(
+                    ":".join(str(x) for x in sorted(sel)).encode("utf-8")
+                ).hexdigest())
+            yield pd.DataFrame({"docid": docids, "n_grams": n_grams,
+                                "n_selected": n_sel, "fingerprint": fps})
+
+    return docs.select("docid", "content").mapInPandas(
+        gen, schema="docid long, n_grams long, n_selected long, "
+                    "fingerprint string")
+
+
+def doc_fingerprint_sql(docs: DataFrame, k: int = FP_GRAM_LEN,
+                        mod: int = FP_MOD) -> DataFrame:
+    """Declarative (explode-based) form of doc_fingerprint — same output,
+    kept as the in-Spark cross-check of the kernel and as documentation of
+    the semantics; do NOT use at volume (one row per char k-gram)."""
     lowered = F.lower(F.col("content"))
     n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(0))
     grams = docs.select(

@@ -12,12 +12,21 @@ list) live here so both sides can't drift.
 
 from __future__ import annotations
 
+import os
+
 from searchenginepp_spark.config import BM25_B, BM25_K1, MAX_TOKEN_LEN
 from searchenginepp_spark.functions.normalizer import SQL_PUNCT_CLASS
 from searchenginepp_spark.functions.stop_words import stop_words
 
 # the class contains a literal ' — double it for SQL string context
 _PUNCT_SQL = SQL_PUNCT_CLASS.replace("'", "''")
+
+# (token -> Porter2 stem) lookup parquet covering the testdata vocabulary +
+# QUERY_SET (regenerate: scripts/gen_stem_map.py).  Makes the stemmed path
+# SQL-expressible: stem-after-filter (WordNormalizer.cpp:62-73) becomes a
+# LEFT JOIN on this table after the tokenize CTE.
+STEM_MAP_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "stem_map.parquet")
 
 # Fixed reference query set for the driver checks (vocabulary of the
 # synthetic documents table; exercises head terms, dup terms, missing terms,
@@ -31,6 +40,10 @@ QUERY_SET: list[tuple[int, str]] = [
     (6, "the a and"),                     # stopword-only → empty
     (7, "vector column row scan"),
     (8, "customer order line"),
+    (9, "queried merges customers"),    # inflected forms: match ONLY when
+                                        # stemming maps them onto the corpus
+                                        # vocabulary (queri/merg/custom) —
+                                        # keeps the stemmed oracle non-vacuous
 ]
 
 TOP_K = 10
@@ -49,9 +62,20 @@ def queries_values() -> str:
     return ", ".join(f"({qid}, {sql_str(text)})" for qid, text in QUERY_SET)
 
 
-def cte_tokens(src: str = "documents") -> str:
-    """Tokenize (stem=False): punctuation→space, \\s+ split, lower, length
-    cap, stop-word filter. docid := doc_id."""
+def cte_tokens(src: str = "documents", stemmed: bool = False) -> str:
+    """Tokenize: punctuation→space, \\s+ split, lower, length cap, stop-word
+    filter, then (stemmed=True) the Porter2 lookup join — same
+    stem-AFTER-filter order as the engine. docid := doc_id."""
+    stem_cte = ""
+    tf_src = "tokens"
+    if stemmed:
+        tf_src = "stemmed"
+        stem_cte = f""",
+  stemmed AS (
+    SELECT t.docid, COALESCE(m.stem, t.term) AS term
+    FROM tokens t
+    LEFT JOIN read_parquet('{STEM_MAP_PATH}') m ON m.token = t.term
+  )"""
     return f"""
   raw_tokens AS (
     SELECT doc_id AS docid,
@@ -64,10 +88,10 @@ def cte_tokens(src: str = "documents") -> str:
     SELECT docid, term FROM raw_tokens
     WHERE term <> '' AND length(term) <= {MAX_TOKEN_LEN}
       AND term NOT IN ({stopword_in_list()})
-  ),
+  ){stem_cte},
   tf AS (
     SELECT term, docid, COUNT(*)::BIGINT AS tf
-    FROM tokens GROUP BY term, docid
+    FROM {tf_src} GROUP BY term, docid
   )"""
 
 
@@ -83,7 +107,12 @@ def cte_doclen() -> str:
   )"""
 
 
-def cte_query_terms() -> str:
+def cte_query_terms(stemmed: bool = False) -> str:
+    # query set-dedup happens on the FINAL terms (engine.cpp:88-96 dedupes
+    # post-normalization), so DISTINCT applies after the stem join
+    term = "COALESCE(m.stem, qf.term)" if stemmed else "qf.term"
+    join = (f"LEFT JOIN read_parquet('{STEM_MAP_PATH}') m ON m.token = qf.term"
+            if stemmed else "")
     return f"""
   qraw AS (
     SELECT qid,
@@ -92,10 +121,13 @@ def cte_query_terms() -> str:
              '\\s+')) AS term
     FROM (VALUES {queries_values()}) AS q(qid, text)
   ),
-  qterms AS (
-    SELECT DISTINCT qid, term FROM qraw
+  qfiltered AS (
+    SELECT qid, term FROM qraw
     WHERE term <> '' AND length(term) <= {MAX_TOKEN_LEN}
       AND term NOT IN ({stopword_in_list()})
+  ),
+  qterms AS (
+    SELECT DISTINCT qid, {term} AS term FROM qfiltered qf {join}
   )"""
 
 
@@ -145,7 +177,7 @@ def _scored(scorer: str) -> str:
 
 
 def sql_topk(scorer: str = "bm25", conjunctive: bool = False,
-             k: int = TOP_K) -> str:
+             k: int = TOP_K, stemmed: bool = False) -> str:
     conj = ""
     if conjunctive:
         conj = """
@@ -163,7 +195,7 @@ def sql_topk(scorer: str = "bm25", conjunctive: bool = False,
     else:
         filt = ""
     return f"""
-WITH {cte_tokens()}, {cte_doclen()}, {cte_query_terms()}, {_scored(scorer)},{conj}
+WITH {cte_tokens(stemmed=stemmed)}, {cte_doclen()}, {cte_query_terms(stemmed=stemmed)}, {_scored(scorer)},{conj}
   ranked AS (
     SELECT scored.qid, scored.docid,
            ROW_NUMBER() OVER (

@@ -44,13 +44,24 @@ SELECT md5(text) AS content_md5,
 FROM documents GROUP BY 1"""
 
 
-def sql_ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:
+def sql_ngram_jaccard(n: int = 3, threshold: float = 0.5,
+                      max_shingle_df: int | None = 256) -> str:
+    cap = ""
+    src = "dsh"
+    if max_shingle_df is not None:
+        src = "dshc"
+        cap = f""",
+  rare AS (
+    SELECT shingle FROM dsh GROUP BY shingle
+    HAVING COUNT(*) <= {max_shingle_df}
+  ),
+  dshc AS (SELECT dsh.docid, dsh.shingle FROM dsh JOIN rare USING (shingle))"""
     return f"""
-WITH {cte_raw_tokens()}, {cte_shingles(n)},
-  sz AS (SELECT docid, COUNT(*) AS sz FROM dsh GROUP BY docid),
+WITH {cte_raw_tokens()}, {cte_shingles(n)}{cap},
+  sz AS (SELECT docid, COUNT(*) AS sz FROM {src} GROUP BY docid),
   inter AS (
     SELECT a.docid AS docid_a, b.docid AS docid_b, COUNT(*) AS i
-    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.docid < b.docid
+    FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.docid < b.docid
     GROUP BY 1, 2
   ),
   j AS (
@@ -244,15 +255,23 @@ FROM sess GROUP BY user_id, session_id"""
 
 
 def sql_byte_histogram(n_buckets: int = 16) -> str:
+    """Histogram over the UTF-8 BYTES of the text (the Spark side histograms
+    encode(content,'utf-8') bytes) — the blob is hex-encoded and read back
+    two chars per byte, so multi-byte characters bucket identically to the
+    engine's numpy kernel (ADVICE round 1: the earlier per-character ascii()
+    form agreed only on pure-ASCII corpora)."""
     width = 256 // n_buckets
     return f"""
-WITH chars AS (
-    SELECT doc_id AS asset_id,
-           ascii(substr(text, i, 1)) // {width} AS bucket
-    FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+WITH h AS (
+    SELECT doc_id AS asset_id, hex(encode(text)) AS hx FROM documents
+  ),
+  bytes AS (
+    SELECT asset_id,
+           ('0x' || substring(hx, 2 * i - 1, 2))::BIGINT // {width} AS bucket
+    FROM h, UNNEST(generate_series(1, length(hx) // 2)) AS g(i)
   )
 SELECT asset_id, bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS count
-FROM chars GROUP BY 1, 2"""
+FROM bytes GROUP BY 1, 2"""
 
 
 # -------------------------------------------------- text analysis oracles

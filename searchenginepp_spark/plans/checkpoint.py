@@ -158,6 +158,25 @@ def build_index_resumable(spark: SparkSession, corpus: DataFrame,
     avgdl = (srow["sum_doclen"] / n_docs) if n_docs else 0.0
 
     # ---- per-bucket encode stages (skip/σ metadata fused into encode) ----
+    # Purge shard dirs not owned by a completed stage of THIS config: a
+    # config change (e.g. fewer n_buckets) leaves stale bucket=<i> dirs that
+    # partition discovery on the shards root would read alongside the
+    # rebuilt ones — duplicated postings inconsistent with the new lexicon
+    # (ADVICE round 1).  Dirs owned by a valid completed stage are kept.
+    import shutil
+
+    if os.path.isdir(paths.shards):
+        for d in os.listdir(paths.shards):
+            if not d.startswith("bucket="):
+                continue
+            try:
+                i = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if i >= n_buckets or not _stage_done(manifest, f"bucket:{i}", fp):
+                shutil.rmtree(os.path.join(paths.shards, d),
+                              ignore_errors=True)
+
     done_this_run = 0
     for b in range(n_buckets):
         name = f"bucket:{b}"

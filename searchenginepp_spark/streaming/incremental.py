@@ -4,20 +4,27 @@ corpus directory.
 The reference builder re-runs from scratch for new documents; here new
 corpus files landing in a directory are picked up by a parquet file stream,
 tokenized per micro-batch (foreachBatch), and staged as relational postings
-+ docmap appends.  The stream checkpoint guarantees each file is processed
-exactly once across restarts — `finalize_index` then compacts the staging
-tables into the same compressed shard layout the batch builder produces, so
-the query paths (exact and BMM) work unchanged.
++ docmap appends.  `finalize_index` then compacts the staging tables into
+the same compressed shard layout the batch builder produces, so the query
+paths (exact and BMM) work unchanged.
+
+Exactly-once staging: foreachBatch is AT-LEAST-once (a crash between the
+staging write and the stream checkpoint commit replays the micro-batch), so
+each batch writes to its own `batch=<id>` directory with mode=overwrite —
+a replay deterministically overwrites the partial/duplicate attempt instead
+of appending a second copy.  Docid bases are derived only from COMMITTED
+batch dirs (id < current, `_SUCCESS` present); micro-batches of one stream
+are serial, so every committed dir is complete and the base is stable under
+replay.  Net effect: the staging tables hold each document exactly once
+with a stable docid, across any number of crash/restart cycles.
 
 Docid strategy: each micro-batch enumerates its docs from a base offset =
-max staged docid (monotonic, batch-serial — micro-batches of one stream
-never overlap).  Arrival order replaces the reference's stdin order as the
-docid authority (builder.cpp:278 semantics, stream edition).
+max docid of committed batches (monotonic, batch-serial).  Arrival order
+replaces the reference's stdin order as the docid authority
+(builder.cpp:278 semantics, stream edition).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +38,10 @@ from searchenginepp_spark.sources.corpus import (
     CORPUS_COLS, with_content_sha256, with_docno,
 )
 
+_DOCMAP_COLS = ["docid", "docno", "repo", "path", "commit", "lang", "doclen",
+                "content_sha256"]
+_POSTING_COLS = ["term", "docid", "tf", "doclen"]
+
 
 class StagingPaths:
     def __init__(self, root: str):
@@ -40,13 +51,42 @@ class StagingPaths:
         self.checkpoint = f"{root}/stream_checkpoint"
 
 
-def _stage_batch(spark: SparkSession, batch: DataFrame, staging: StagingPaths,
-                 stem: bool) -> None:
+def _committed_batch_dirs(spark: SparkSession, root: str,
+                          below: int | None = None) -> list[str]:
+    """batch=<id> dirs under `root` that finished writing (`_SUCCESS`
+    marker), optionally only ids < `below`.  Uses the Hadoop FileSystem API
+    so staging may live on any Spark-supported storage, not just local."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    out: list[tuple[int, str]] = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if below is not None and bid >= below:
+            continue
+        ok = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        if fs.exists(ok):
+            out.append((bid, st.getPath().toString()))
+    return [p for _, p in sorted(out)]
+
+
+def _stage_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
+                 staging: StagingPaths, stem: bool) -> None:
     if not batch.head(1):
         return
+    committed = _committed_batch_dirs(spark, staging.docmap, below=batch_id)
     base = 0
-    if os.path.isdir(staging.docmap):
-        row = spark.read.parquet(staging.docmap).agg(
+    if committed:
+        row = spark.read.parquet(*committed).agg(
             F.max("docid").alias("m")).collect()[0]
         base = int(row["m"] or 0)
     # deterministic within-batch order; offset continues the staged sequence
@@ -55,12 +95,29 @@ def _stage_batch(spark: SparkSession, batch: DataFrame, staging: StagingPaths,
     w = Window.orderBy("repo", "path", "commit")
     prepared = with_content_sha256(with_docno(batch)).withColumn(
         "docid", (F.row_number().over(w) + F.lit(base)).cast("long"))
+    # per-batch dir + overwrite = idempotent under micro-batch replay
     (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
-     .select("docid", "docno", "repo", "path", "commit", "lang", "doclen",
-             "content_sha256")
-     .write.mode("append").parquet(staging.docmap))
-    explode_postings(prepared, stem=stem).write.mode("append").parquet(
-        staging.postings)
+     .select(*_DOCMAP_COLS)
+     .write.mode("overwrite").parquet(f"{staging.docmap}/batch={batch_id}"))
+    explode_postings(prepared, stem=stem).select(*_POSTING_COLS).write.mode(
+        "overwrite").parquet(f"{staging.postings}/batch={batch_id}")
+
+
+def read_staged_docmap(spark: SparkSession, staging: StagingPaths) -> DataFrame:
+    dirs = _committed_batch_dirs(spark, staging.docmap)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "docid long, docno string, repo string, path string, "
+                "commit string, lang string, doclen long, content_sha256 string")
+    return spark.read.parquet(*dirs).select(*_DOCMAP_COLS)
+
+
+def read_staged_postings(spark: SparkSession, staging: StagingPaths) -> DataFrame:
+    dirs = _committed_batch_dirs(spark, staging.postings)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "term string, docid long, tf long, doclen long")
+    return spark.read.parquet(*dirs).select(*_POSTING_COLS)
 
 
 def start_ingest(spark: SparkSession, corpus_dir: str, staging_root: str,
@@ -75,7 +132,7 @@ def start_ingest(spark: SparkSession, corpus_dir: str, staging_root: str,
 
     writer = (
         stream.writeStream
-        .foreachBatch(lambda b, _id: _stage_batch(spark, b, staging, stem))
+        .foreachBatch(lambda b, bid: _stage_batch(spark, b, bid, staging, stem))
         .option("checkpointLocation", staging.checkpoint)
     )
     if available_now:
@@ -91,10 +148,10 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
                    term_partitions: int | None = None) -> IndexPaths:
     """Compact the staged postings/docmap into the standard index layout —
     identical to what build_index writes, so search()/search_bmm() just
-    work."""
+    work.  Reads only COMMITTED batch dirs; run after a drained ingest."""
     staging = StagingPaths(staging_root)
     paths = IndexPaths(out)
-    docmap = spark.read.parquet(staging.docmap)
+    docmap = read_staged_docmap(spark, staging)
     docmap.write.mode("overwrite").parquet(paths.docmap)
 
     build_stats(docmap).write.mode("overwrite").parquet(paths.stats)
@@ -102,7 +159,7 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
     n_docs = int(srow["n_docs"])
     avgdl = (srow["sum_doclen"] / n_docs) if n_docs else 0.0
 
-    postings = spark.read.parquet(staging.postings)
+    postings = read_staged_postings(spark, staging)
     shards = build_index_shards(postings, float(avgdl),
                                 salt_target=salt_target,
                                 num_partitions=term_partitions,

@@ -97,3 +97,32 @@ def test_config_change_invalidates(spark, corpus, tmp_path_factory):
                           salt_target=64, block_size=32)
     m = load_manifest(IndexPaths(root))
     assert m["stages"]["postings"]["completed_at"] > t_first
+
+
+def test_shrinking_n_buckets_purges_stale_dirs(spark, corpus, tmp_path_factory):
+    """Re-running with fewer buckets must not leave stale bucket=<i> dirs
+    for partition discovery to read alongside the rebuilt ones (ADVICE
+    round 1): postings count and query results must match a fresh build."""
+    from searchenginepp_spark.operators.query import search
+
+    root = str(tmp_path_factory.mktemp("ck_shrink"))
+    build_index_resumable(spark, corpus, root, n_buckets=4,
+                          salt_target=64, block_size=16)
+    n_postings_4 = spark.read.parquet(f"{root}/index_shards").agg(
+        F.sum("df_shard")).collect()[0][0]
+    build_index_resumable(spark, corpus, root, n_buckets=2,
+                          salt_target=64, block_size=16)
+    import os
+    dirs = [d for d in os.listdir(f"{root}/index_shards")
+            if d.startswith("bucket=")]
+    assert sorted(dirs) == ["bucket=0", "bucket=1"]
+    n_postings_2 = spark.read.parquet(f"{root}/index_shards").agg(
+        F.sum("df_shard")).collect()[0][0]
+    assert n_postings_2 == n_postings_4
+    fresh = str(tmp_path_factory.mktemp("ck_fresh"))
+    build_index_resumable(spark, corpus, fresh, n_buckets=2,
+                          salt_target=64, block_size=16)
+    q = [(1, "sym1 sym2"), (2, "int return")]
+    got = sorted(map(tuple, search(spark, root, q, k=10).collect()))
+    want = sorted(map(tuple, search(spark, fresh, q, k=10).collect()))
+    assert got == want

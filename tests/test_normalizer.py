@@ -103,3 +103,46 @@ def test_latin1_lowercase_goldens():
         "èéêëìíîïðñòóôõöøùúûüýàçùæ"
     assert latin1_lowercase("ABCDEFGHIJKLMNOPQRSTUVWXYZ1234567890") == \
         "abcdefghijklmnopqrstuvwxyz1234567890"
+
+
+def test_term_frequencies_fast_parity():
+    """CLAUDE.md invariant: term_frequencies_fast must stay output-identical
+    to term_frequencies — adversarial inputs over the translate-table /
+    worker-cache hot path, both stem modes (ADVICE round 1)."""
+    from searchenginepp_spark.functions.normalizer import (
+        term_frequencies, term_frequencies_fast,
+    )
+
+    cases = [
+        "",
+        "   \t\n\x0b\x0c\r   ",
+        "The THE the tHe",                          # case-folded stopword dups
+        "Twinkle, twinkle, little bat! don't a->b",
+        "x" * 241 + " " + "x" * 240,                # exactly at/over len cap
+        "naïve ¶café⸻ «déjà» don't",                # multi-byte punctuation
+        "int return if else sym1 sym1 SYM1 fn_2;",
+        "queries querying queried query",           # stem merges
+        "word" + "—" + "joined",               # 3-byte punct splits
+        "mixed    spacing\tand\nnewlines\x0cfeed",
+    ]
+    for text in cases:
+        for stem in (True, False):
+            assert term_frequencies_fast(text, stem) == \
+                term_frequencies(text, stem=stem), (text, stem)
+
+
+def test_term_frequencies_fast_parity_random():
+    import random
+
+    from searchenginepp_spark.functions.normalizer import (
+        PUNCT_ALL, term_frequencies, term_frequencies_fast,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcXYZ012 \t\n" + PUNCT_ALL + "éß漢"
+    for _ in range(50):
+        text = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 400)))
+        for stem in (True, False):
+            assert term_frequencies_fast(text, stem) == \
+                term_frequencies(text, stem=stem)

@@ -82,3 +82,36 @@ def test_incremental_ingest_exactly_once_and_matches_batch(spark, tmp_path):
     got = _by_docno(search(spark, inc.root, QUERIES, k=10))
     want = _by_docno(search(spark, batch_root, QUERIES, k=10))
     assert got == want
+
+
+def test_stage_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch with the same
+    batch_id (crash between staging write and checkpoint commit) must leave
+    the staging tables byte-identical — same rows, same docids (ADVICE
+    round 1)."""
+    from searchenginepp_spark.streaming.incremental import (
+        StagingPaths, _stage_batch, read_staged_docmap, read_staged_postings,
+    )
+
+    corpus = synthesize_corpus(spark, 40)
+    b1 = corpus.filter(F.col("path").substr(-5, 1).isin("0", "1", "2"))
+    b2 = corpus.subtract(b1)
+    staging = StagingPaths(str(tmp_path / "staging"))
+
+    _stage_batch(spark, b1, 0, staging, stem=True)
+    snap1 = sorted(map(tuple, read_staged_docmap(spark, staging).collect()))
+    _stage_batch(spark, b1, 0, staging, stem=True)      # replay batch 0
+    assert sorted(map(tuple,
+                      read_staged_docmap(spark, staging).collect())) == snap1
+
+    _stage_batch(spark, b2, 1, staging, stem=True)
+    full = read_staged_docmap(spark, staging)
+    n = corpus.count()
+    assert full.count() == n
+    assert full.select("docid").distinct().count() == n
+    lo, hi = full.agg(F.min("docid"), F.max("docid")).collect()[0]
+    assert (lo, hi) == (1, n)
+    post1 = sorted(map(tuple, read_staged_postings(spark, staging).collect()))
+    _stage_batch(spark, b2, 1, staging, stem=True)      # replay batch 1
+    assert sorted(map(tuple,
+                      read_staged_postings(spark, staging).collect())) == post1

@@ -78,3 +78,26 @@ def test_fingerprint_empty_doc(spark):
     assert r[2]["n_grams"] == 0                  # shorter than k
     # md5 of empty selection is the md5 of the empty string, both engines
     assert r[1]["fingerprint"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_fingerprint_kernel_matches_sql_form(spark):
+    """The mapInPandas rolling kernel must be output-identical to the
+    declarative explode form (same md5-prefix mod-sampling) — including
+    empty docs, docs shorter than k, non-ASCII and repeated content."""
+    from searchenginepp_spark.operators.text_analysis import doc_fingerprint_sql
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 5),
+        (2, ""),
+        (3, "short"),                              # < k chars
+        (4, "exactly8"),                           # == k chars
+        (5, "naïve café — déjà vu ¶ done here"),   # multi-byte chars
+        (6, "the quick brown fox jumps over the lazy dog " * 5),  # dup of 1
+        (7, "AAAAAAAAAAAAAAAAAAAAAAAA"),           # degenerate repeats
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    kern = sorted(map(tuple, doc_fingerprint(docs).collect()))
+    sql = sorted(map(tuple, doc_fingerprint_sql(docs).collect()))
+    assert kern == sql
+    by_id = dict((r[0], r) for r in kern)
+    assert by_id[1] == (6, *by_id[6][1:]) or by_id[1][1:] == by_id[6][1:]
