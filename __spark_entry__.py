@@ -259,6 +259,45 @@ def q_events_daily_json(spark, sf_dir):
     return daily_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+# ------------------------------------------------- relational (TPC-H-ish)
+
+TPCH_SHIP_CUTOFF = "1998-09-02"
+TPCH_Q3_SEGMENT = "BUILDING"
+TPCH_Q3_DATE = "1998-03-15"
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_YEAR = 1996
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    from searchenginepp_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"),
+                           ship_cutoff=TPCH_SHIP_CUTOFF)
+
+
+def q_tpch_top_unshipped(spark, sf_dir):
+    from searchenginepp_spark.operators.relational import top_unshipped_orders
+
+    return top_unshipped_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), segment=TPCH_Q3_SEGMENT,
+        date=TPCH_Q3_DATE, n=10)
+
+
+def q_tpch_regional_revenue(spark, sf_dir):
+    from searchenginepp_spark.operators.relational import regional_revenue
+
+    return regional_revenue(
+        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"),
+        region_name=TPCH_Q5_REGION, year=TPCH_Q5_YEAR)
+
+
 def q_mm_byte_histogram(spark, sf_dir):
     """Multimodal plumbing demo: document text as opaque binary payload →
     Arrow-batched numpy byte histogram (operators/multimodal.py)."""
@@ -298,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_daily_json": q_events_daily_json,
         "mm_byte_histogram": q_mm_byte_histogram,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_unshipped": q_tpch_top_unshipped,
+        "tpch_regional_revenue": q_tpch_regional_revenue,
     }
 
 
@@ -325,6 +367,11 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": opipe.sql_sessionize(),
         "events_daily_json": opipe.sql_daily_event_stats(),
         "mm_byte_histogram": opipe.sql_byte_histogram(16),
+        "tpch_pricing_summary": opipe.sql_pricing_summary(TPCH_SHIP_CUTOFF),
+        "tpch_top_unshipped": opipe.sql_top_unshipped_orders(
+            TPCH_Q3_SEGMENT, TPCH_Q3_DATE, n=10),
+        "tpch_regional_revenue": opipe.sql_regional_revenue(
+            TPCH_Q5_REGION, TPCH_Q5_YEAR),
     }
     return pipeline | {
         "postings_tf": osql.sql_postings_tf(),

@@ -428,17 +428,70 @@ class IndexPaths:
         self.manifest = f"{root}/manifest"
 
 
+def _sample_corpus_for_df(spark: SparkSession, corpus: DataFrame,
+                          n_docs: int, target_docs: int,
+                          files: list[str] | None = None):
+    """→ (sample_df(docid, content), meta dict) for heavy-term df estimation.
+
+    File-level sampling when the corpus is a many-file table: pick a
+    deterministic stride subset of the input files and read ONLY those —
+    at petabyte scale `corpus.sample(frac)` still scans every input byte,
+    while a file subset reads frac of the bytes (CLAUDE.md round-1 lead).
+    Falls back to row sampling for single-file / non-parquet / synthetic
+    inputs.  Mis-estimation is a perf concern only — salting never affects
+    scores (index_build module docstring)."""
+    frac = min(1.0, target_docs / max(n_docs, 1))
+    if frac >= 1.0:
+        return None, {"mode": "none", "frac": 1.0}
+    # docid assignment severs file provenance (mapInArrow), so the caller
+    # captures inputFiles() from the PRE-assignment corpus
+    files = sorted(files if files is not None else corpus.inputFiles())
+    if len(files) >= 8 and all(f.endswith(".parquet") or "/part-" in f
+                               for f in files):
+        n_take = max(1, round(frac * len(files)))
+        subset = files[:: max(1, len(files) // n_take)][:n_take]
+        try:
+            raw = spark.read.parquet(*subset)
+            col = ("content" if "content" in raw.columns
+                   else "text" if "text" in raw.columns else None)
+            if col is not None:
+                sampled_docs = raw.count()   # parquet metadata, no scan
+                if sampled_docs:
+                    jvm = spark._jvm
+                    conf = spark._jsc.hadoopConfiguration()
+                    nbytes = 0
+                    for f in subset:
+                        p = jvm.org.apache.hadoop.fs.Path(f)
+                        nbytes += p.getFileSystem(conf).getFileStatus(p).getLen()
+                    sample = raw.select(
+                        F.monotonically_increasing_id().alias("docid"),
+                        F.col(col).alias("content"))
+                    meta = {"mode": "files", "frac": sampled_docs / n_docs,
+                            "files_total": len(files),
+                            "files_sampled": len(subset),
+                            "sampled_bytes": int(nbytes),
+                            "sampled_docs": int(sampled_docs)}
+                    return sample, meta
+        except Exception:
+            pass                              # unreadable subset → row sample
+    return (corpus.sample(frac, seed=7),
+            {"mode": "rows", "frac": frac})
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                 stem: bool = True, scalable_docids: bool = True,
                 salt_target: int = SALT_TARGET_POSTINGS,
                 term_partitions: int | None = None,
-                block_size: int = SKIP_BLOCK_SIZE) -> IndexPaths:
+                block_size: int = SKIP_BLOCK_SIZE,
+                sample_docs_target: int = 100_000) -> IndexPaths:
     """Full build: corpus (repo,path,commit,lang,content) → persisted index.
 
     Writes: index_shards (term-sorted for row-group skipping), docmap,
-    global_lexicon, stats.
+    global_lexicon, stats, manifest/build_manifest.json (sampling lineage
+    + salting decisions).
     """
     paths = out if isinstance(out, IndexPaths) else IndexPaths(out)
+    src_files = corpus.inputFiles()       # before docid assignment severs it
     corpus = with_content_sha256(with_docno(corpus))
     cache_handle = None
     if scalable_docids:
@@ -447,14 +500,17 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
         corpus = assign_docids_window(corpus)
     try:
         return _build_index_passes(spark, corpus, paths, stem, salt_target,
-                                   term_partitions, block_size)
+                                   term_partitions, block_size,
+                                   sample_docs_target, src_files=src_files)
     finally:
         if cache_handle is not None:
             cache_handle.unpersist()
 
 
 def _build_index_passes(spark, corpus, paths, stem, salt_target,
-                        term_partitions, block_size) -> IndexPaths:
+                        term_partitions, block_size,
+                        sample_docs_target: int = 100_000,
+                        src_files: list[str] | None = None) -> IndexPaths:
     # two independent cheap Arrow passes over the (persisted) corpus beat
     # one pass that materializes map<string,int> rows (~10x on this stage):
     # pass 1 → docmap with doclen; pass 2 → exploded flat postings.
@@ -488,15 +544,21 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
 
     postings = explode_postings(corpus, stem=stem)
     # heavy-term detection: an exact df agg costs a full tokenize pass; a
-    # corpus sample estimates df for the head terms (the only ones that
-    # matter) at a fraction of the cost.  Mis-salting is a perf, never a
-    # correctness, concern — the threshold halves as a safety margin.
+    # sample estimates df for the head terms (the only ones that matter) at
+    # a fraction of the cost — file-level when the input has many files
+    # (reads frac of the BYTES, not just frac of the rows).  Mis-salting is
+    # a perf, never a correctness, concern — the threshold halves as a
+    # safety margin.
     heavy = None
-    frac = min(1.0, 100_000 / max(int(n_docs), 1))
-    if frac < 1.0:
-        sample = explode_postings(corpus.sample(frac, seed=7), stem=stem)
-        heavy = (
-            sample.groupBy("term").agg(F.count("*").alias("c"))
+    sample, sample_meta = _sample_corpus_for_df(spark, corpus, int(n_docs),
+                                                sample_docs_target,
+                                                files=src_files)
+    heavy_rows: list = []
+    if sample is not None:
+        frac = sample_meta["frac"]
+        heavy_rows = (
+            explode_postings(sample, stem=stem)
+            .groupBy("term").agg(F.count("*").alias("c"))
             .withColumn("df_est", (F.col("c") / F.lit(frac)).cast("long"))
             .filter(F.col("df_est") > salt_target // 2)
             .withColumn("n_buckets",
@@ -504,7 +566,25 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                             F.ceil(F.col("df_est") / F.lit(salt_target)),
                             F.lit(1)).cast("long"))
             .select("term", "n_buckets")
+            .collect()                    # head terms only — tiny
         )
+        heavy = spark.createDataFrame(
+            [(r["term"], r["n_buckets"]) for r in heavy_rows],
+            "term string, n_buckets long")
+
+    import json
+    import os
+
+    os.makedirs(paths.manifest, exist_ok=True)
+    with open(os.path.join(paths.manifest, "build_manifest.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "sum_doclen": sum_doclen,
+                   "term_partitions": term_partitions,
+                   "salt_target": salt_target, "block_size": block_size,
+                   "sampling": sample_meta,
+                   "n_heavy_terms": len(heavy_rows),
+                   "heavy_terms": sorted(r["term"] for r in heavy_rows)},
+                  f, indent=1, sort_keys=True)
+
     shards = build_index_shards(postings, float(avgdl),
                                 salt_target=salt_target,
                                 num_partitions=term_partitions,

@@ -387,3 +387,54 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= {threshold}"""
+
+
+# -------------------------------------------------- relational (TPC-H-ish)
+
+def sql_pricing_summary(ship_cutoff: str) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{ship_cutoff}'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def sql_top_unshipped_orders(segment: str, date: str, n: int = 10) -> str:
+    return f"""
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{date}'
+  AND l_shipdate > TIMESTAMP '{date}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT {n}"""
+
+
+def sql_regional_revenue(region_name: str, year: int) -> str:
+    return f"""
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = '{region_name}'
+  AND o_orderdate >= TIMESTAMP '{year}-01-01'
+  AND o_orderdate < TIMESTAMP '{year + 1}-01-01'
+GROUP BY n_name"""
