@@ -73,3 +73,23 @@ def test_local_conjunctive_matches_spark(spark, built, scorer):
                                              conjunctive=True))
     assert got == want
     assert got, "conjunctive results empty for every query?"
+
+
+def test_cli_batch_trec_output(built, tmp_path, capsys, monkeypatch):
+    """CLI batch mode (engine.cpp:74-79): qid\\tquery lines in, TREC run
+    lines out, same ranking as LocalSearcher."""
+    import io
+
+    from searchenginepp_spark.cli import main
+    from searchenginepp_spark.operators.local_engine import LocalSearcher
+
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO("1\tsym1 sym2\n2\tint return\n"))
+    rc = main([built, "--batch", "--k", "5", "--run-name", "t"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().split("\n")
+    want = LocalSearcher(built).search(
+        [(1, "sym1 sym2"), (2, "int return")], k=5)
+    assert len(lines) == len(want)
+    q, _, docno, rank, score = want[0]
+    assert lines[0] == f"{q} Q0 {docno} {rank} {score:.6f} t"
