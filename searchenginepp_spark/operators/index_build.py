@@ -483,25 +483,45 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                 salt_target: int = SALT_TARGET_POSTINGS,
                 term_partitions: int | None = None,
                 block_size: int = SKIP_BLOCK_SIZE,
-                sample_docs_target: int = 100_000) -> IndexPaths:
+                sample_docs_target: int = 100_000,
+                timings: dict | None = None,
+                cache_postings: bool = True) -> IndexPaths:
     """Full build: corpus (repo,path,commit,lang,content) → persisted index.
 
     Writes: index_shards (term-sorted for row-group skipping), docmap,
     global_lexicon, stats, manifest/build_manifest.json (sampling lineage
-    + salting decisions).
+    + salting decisions).  Pass a dict as `timings` to collect per-phase
+    wall seconds (docids/docmap/sample/encode/lexicon) — the scaling bench
+    uses it to attribute fixed overhead vs parallel work.
+
+    cache_postings=True (default): the corpus is tokenized exactly ONCE —
+    exploded postings persist to memory+disk, docmap doclens come from a
+    per-docid agg over the cache, and heavy-term salting uses EXACT df from
+    the cache (no sampling error).  At cluster scale the persist maps to
+    checkpointing the postings table to durable storage, which
+    plans/checkpoint.py implements as the resumable path.
+    cache_postings=False: the memory-light two-pass variant (tokenize for
+    docmap, tokenize for postings) with file-level df sampling — for hosts
+    where the postings table can't be cached.
     """
+    import time
+
+    t = timings if timings is not None else {}
     paths = out if isinstance(out, IndexPaths) else IndexPaths(out)
     src_files = corpus.inputFiles()       # before docid assignment severs it
     corpus = with_content_sha256(with_docno(corpus))
     cache_handle = None
+    t0 = time.perf_counter()
     if scalable_docids:
         corpus, cache_handle = assign_docids(corpus, return_handle=True)
     else:
         corpus = assign_docids_window(corpus)
+    t["docids"] = round(time.perf_counter() - t0, 3)
     try:
         return _build_index_passes(spark, corpus, paths, stem, salt_target,
                                    term_partitions, block_size,
-                                   sample_docs_target, src_files=src_files)
+                                   sample_docs_target, src_files=src_files,
+                                   timings=t, cache_postings=cache_postings)
     finally:
         if cache_handle is not None:
             cache_handle.unpersist()
@@ -510,21 +530,49 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
 def _build_index_passes(spark, corpus, paths, stem, salt_target,
                         term_partitions, block_size,
                         sample_docs_target: int = 100_000,
-                        src_files: list[str] | None = None) -> IndexPaths:
-    # two independent cheap Arrow passes over the (persisted) corpus beat
-    # one pass that materializes map<string,int> rows (~10x on this stage):
-    # pass 1 → docmap with doclen; pass 2 → exploded flat postings.
-    # Collection stats piggyback on the docmap write via the Observation
-    # API — no separate aggregation job over the table.
+                        src_files: list[str] | None = None,
+                        timings: dict | None = None,
+                        cache_postings: bool = True) -> IndexPaths:
+    # Default path (cache_postings=True): tokenize ONCE — exploded postings
+    # persist to memory+disk; docmap doclens are a per-docid first() agg
+    # over the cache and heavy-term df is EXACT from the cache (the sample
+    # pass disappears).  Collection stats piggyback on the docmap write via
+    # the Observation API — no separate aggregation job over the table.
+    # Fallback (cache_postings=False): two tokenize passes + file-level df
+    # sampling, for memory-constrained hosts.
+    import time
+
     from pyspark.sql import Observation
 
+    t = timings if timings is not None else {}
+    t0 = time.perf_counter()
     obs = Observation("collection_stats")
-    docmap = corpus.withColumn(
-        "doclen", doclen_udf(stem)(F.col("content"))
-    ).select("docid", "docno", "repo", "path", "commit", "lang", "doclen",
-             "content_sha256").observe(
-        obs, F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doclen").alias("sum_doclen"))
+    postings_cache = None
+    if cache_postings:
+        from pyspark.storagelevel import StorageLevel
+
+        postings_cache = explode_postings(corpus, stem=stem).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        doclens = postings_cache.groupBy("docid").agg(
+            F.first("doclen").alias("doclen"))
+        docmap = (
+            corpus.select("docid", "docno", "repo", "path", "commit", "lang",
+                          "content_sha256")
+            .join(doclens, "docid", "left")     # zero-token docs → doclen 0
+            .withColumn("doclen",
+                        F.coalesce(F.col("doclen"), F.lit(0)).cast("long"))
+            .select("docid", "docno", "repo", "path", "commit", "lang",
+                    "doclen", "content_sha256")
+            .observe(obs, F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("doclen").alias("sum_doclen"))
+        )
+    else:
+        docmap = corpus.withColumn(
+            "doclen", doclen_udf(stem)(F.col("content"))
+        ).select("docid", "docno", "repo", "path", "commit", "lang", "doclen",
+                 "content_sha256").observe(
+            obs, F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doclen").alias("sum_doclen"))
     docmap.write.mode("overwrite").parquet(paths.docmap)
 
     n_docs = int(obs.get["n_docs"])
@@ -533,6 +581,8 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                            "n_docs long, sum_doclen long")
      .write.mode("overwrite").parquet(paths.stats))
     avgdl = sum_doclen / n_docs if n_docs else 0.0
+    t["docmap"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     if term_partitions is None:
         # size the postings shuffle by DATA, not cores: ~5M postings per
@@ -542,35 +592,52 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         term_partitions = max(spark.sparkContext.defaultParallelism * 2,
                               est_postings // 5_000_000 + 1)
 
-    postings = explode_postings(corpus, stem=stem)
-    # heavy-term detection: an exact df agg costs a full tokenize pass; a
-    # sample estimates df for the head terms (the only ones that matter) at
-    # a fraction of the cost — file-level when the input has many files
-    # (reads frac of the BYTES, not just frac of the rows).  Mis-salting is
-    # a perf, never a correctness, concern — the threshold halves as a
-    # safety margin.
     heavy = None
-    sample, sample_meta = _sample_corpus_for_df(spark, corpus, int(n_docs),
-                                                sample_docs_target,
-                                                files=src_files)
     heavy_rows: list = []
-    if sample is not None:
-        frac = sample_meta["frac"]
+    if postings_cache is not None:
+        postings = postings_cache
+        # exact df from the cache — no tokenize, no sampling error; the
+        # agg's map-side combine reduces to |vocab| rows before the shuffle
+        sample_meta = {"mode": "exact_cached_postings", "frac": 1.0}
         heavy_rows = (
-            explode_postings(sample, stem=stem)
-            .groupBy("term").agg(F.count("*").alias("c"))
-            .withColumn("df_est", (F.col("c") / F.lit(frac)).cast("long"))
-            .filter(F.col("df_est") > salt_target // 2)
+            postings_cache.groupBy("term").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > salt_target)
             .withColumn("n_buckets",
-                        F.greatest(
-                            F.ceil(F.col("df_est") / F.lit(salt_target)),
-                            F.lit(1)).cast("long"))
+                        F.ceil(F.col("df") / F.lit(salt_target)).cast("long"))
             .select("term", "n_buckets")
             .collect()                    # head terms only — tiny
         )
+    else:
+        postings = explode_postings(corpus, stem=stem)
+        # heavy-term detection without the cache: a sample estimates df for
+        # the head terms (the only ones that matter) at a fraction of the
+        # cost — file-level when the input has many files (reads frac of
+        # the BYTES, not just frac of the rows).  Mis-salting is a perf,
+        # never a correctness, concern — the threshold halves as a margin.
+        sample, sample_meta = _sample_corpus_for_df(
+            spark, corpus, int(n_docs), sample_docs_target, files=src_files)
+        if sample is not None:
+            frac = sample_meta["frac"]
+            heavy_rows = (
+                explode_postings(sample, stem=stem)
+                .groupBy("term").agg(F.count("*").alias("c"))
+                .withColumn("df_est", (F.col("c") / F.lit(frac)).cast("long"))
+                .filter(F.col("df_est") > salt_target // 2)
+                .withColumn("n_buckets",
+                            F.greatest(
+                                F.ceil(F.col("df_est") / F.lit(salt_target)),
+                                F.lit(1)).cast("long"))
+                .select("term", "n_buckets")
+                .collect()                # head terms only — tiny
+            )
+    if heavy_rows:
         heavy = spark.createDataFrame(
             [(r["term"], r["n_buckets"]) for r in heavy_rows],
             "term string, n_buckets long")
+    elif postings_cache is not None:
+        # exact df already computed: nothing is heavy — suppress the
+        # fallback per-term df agg inside build_index_shards
+        heavy = spark.createDataFrame([], "term string, n_buckets long")
 
     import json
     import os
@@ -584,6 +651,8 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                    "n_heavy_terms": len(heavy_rows),
                    "heavy_terms": sorted(r["term"] for r in heavy_rows)},
                   f, indent=1, sort_keys=True)
+    t["sample"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     shards = build_index_shards(postings, float(avgdl),
                                 salt_target=salt_target,
@@ -593,7 +662,12 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
     # parquet row-group min/max stats prune on term; write once, derive the
     # global lexicon from the written table's tiny (term, df_shard) columns
     shards.write.mode("overwrite").parquet(paths.shards)
+    if postings_cache is not None:
+        postings_cache.unpersist()
+    t["encode"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     (spark.read.parquet(paths.shards)
      .groupBy("term").agg(F.sum("df_shard").alias("df"))
      .write.mode("overwrite").parquet(paths.lexicon))
+    t["lexicon"] = round(time.perf_counter() - t0, 3)
     return paths
