@@ -279,6 +279,19 @@ def main() -> None:
     try:
         big = run_build(CPUS, N_DOCS, f"{tmp}/big")
         scaling = run_scaling() if DO_SCALING else None
+        cpu = cpu_probe()
+        if scaling is not None:
+            # the host's SAME-WINDOW delivered parallelism bounds any
+            # wall-clock efficiency: ceiling = speedup(4N)/(4*speedup(N));
+            # efficiency_vs_host_ceiling reads out how much of the
+            # achievable scaling the build actually realizes
+            s_n = cpu["speedup"].get(str(SCALING_N))
+            s_4n = cpu["speedup"].get(str(SCALING_N * 4))
+            if s_n and s_4n:
+                ceil = s_4n / (4 * s_n)
+                scaling["host_ceiling_efficiency"] = round(ceil, 3)
+                scaling["efficiency_vs_host_ceiling"] = round(
+                    scaling["efficiency"] / ceil, 3)
         queries = {"build": round(big["build_s"], 3),
                    "query_batch": round(big.get("query_s", 0.0), 3)}
         queries.update(big.get("per_query", {}))
@@ -294,7 +307,7 @@ def main() -> None:
             "build_phases": big.get("phases"),
             "scaling": scaling,
             "index_size": big.get("index_size"),
-            "cpu": cpu_probe(),
+            "cpu": cpu,
         }
         print(json.dumps(out))
     finally:
