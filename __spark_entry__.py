@@ -259,6 +259,29 @@ def q_events_daily_json(spark, sf_dir):
     return daily_event_stats(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+# ------------------------------------------------------ ranking evaluation
+
+EVAL_QRELS_MOD = 7     # deterministic synthetic qrels: relevant iff
+                       # docid % EVAL_QRELS_MOD == qid % EVAL_QRELS_MOD
+
+
+def q_eval_metrics(spark, sf_dir):
+    """mAP/nDCG@10/MRR of the BM25 run against deterministic synthetic
+    qrels — gates the evaluation operator's metric math (not ranking
+    quality; quality goldens live in tests/test_evaluation.py)."""
+    from searchenginepp_spark.operators.evaluation import evaluate_topk
+
+    run = _topk(spark, sf_dir, "bm25", conjunctive=False)
+    qids = spark.createDataFrame([(q,) for q, _ in QUERY_SET], "qid long")
+    qrels = (
+        _docs(spark, sf_dir).select("docid").crossJoin(qids)
+        .filter(F.col("docid") % EVAL_QRELS_MOD
+                == F.col("qid") % EVAL_QRELS_MOD)
+        .withColumn("gain", F.lit(1.0))
+    )
+    return evaluate_topk(run, qrels, k=TOP_K)
+
+
 # ------------------------------------------------- relational (TPC-H-ish)
 
 TPCH_SHIP_CUTOFF = "1998-09-02"
@@ -340,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_unshipped": q_tpch_top_unshipped,
         "tpch_regional_revenue": q_tpch_regional_revenue,
+        "eval_metrics": q_eval_metrics,
     }
 
 
@@ -372,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
             TPCH_Q3_SEGMENT, TPCH_Q3_DATE, n=10),
         "tpch_regional_revenue": opipe.sql_regional_revenue(
             TPCH_Q5_REGION, TPCH_Q5_YEAR),
+        "eval_metrics": osql.sql_eval_metrics(k=TOP_K,
+                                              qrels_mod=EVAL_QRELS_MOD),
     }
     return pipeline | {
         "postings_tf": osql.sql_postings_tf(),

@@ -207,3 +207,55 @@ WITH {cte_tokens(stemmed=stemmed)}, {cte_doclen()}, {cte_query_terms(stemmed=ste
   )
 SELECT qid, docid, rank::BIGINT AS rank, score FROM ranked WHERE rank <= {k}
 """
+
+
+def sql_eval_metrics(k: int = TOP_K, qrels_mod: int = 7) -> str:
+    """Per-qid AP / nDCG@k / RR of the BM25 run against the deterministic
+    synthetic qrels (relevant iff doc_id % mod == qid % mod) — mirrors
+    operators/evaluation.evaluate_topk expression-for-expression."""
+    return f"""
+WITH run AS ({sql_topk("bm25", conjunctive=False, k=k)}),
+  qids AS (
+    SELECT DISTINCT qid FROM (VALUES {queries_values()}) AS q(qid, text)
+  ),
+  qrels AS (
+    SELECT q.qid, d.doc_id AS docid, 1.0 AS gain
+    FROM documents d CROSS JOIN qids q
+    WHERE d.doc_id % {qrels_mod} = q.qid % {qrels_mod}
+  ),
+  judged AS (
+    SELECT r.qid, r.docid, r.rank,
+           COALESCE(qr.gain, 0.0) AS gain,
+           CASE WHEN COALESCE(qr.gain, 0.0) > 0 THEN 1.0 ELSE 0.0 END AS hit
+    FROM run r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+  ),
+  cum AS (
+    SELECT qid, gain, hit, rank,
+           SUM(hit) OVER (PARTITION BY qid ORDER BY rank
+                          ROWS UNBOUNDED PRECEDING) / rank AS prec_at
+    FROM judged
+  ),
+  per_q AS (
+    SELECT qid, SUM(hit * prec_at) AS sum_prec,
+           SUM(gain / log2(rank + 1)) AS dcg,
+           MAX(CASE WHEN hit > 0 THEN 1.0 / rank END) AS rr
+    FROM cum GROUP BY qid
+  ),
+  ranked_rel AS (
+    SELECT qid, gain,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY gain DESC, docid ASC) AS irank
+    FROM qrels WHERE gain > 0
+  ),
+  ideal AS (
+    SELECT qid, COUNT(*)::BIGINT AS n_relevant,
+           SUM(CASE WHEN irank <= {k}
+                    THEN gain / log2(irank + 1) ELSE 0 END) AS idcg
+    FROM ranked_rel GROUP BY qid
+  )
+SELECT i.qid,
+       ROUND(COALESCE(p.sum_prec, 0) / i.n_relevant, 6) AS ap,
+       ROUND(COALESCE(p.dcg, 0) / i.idcg, 6) AS ndcg,
+       ROUND(COALESCE(p.rr, 0), 6) AS rr,
+       i.n_relevant
+FROM ideal i LEFT JOIN per_q p ON p.qid = i.qid"""
