@@ -275,8 +275,10 @@ _EXTRA_FIELDS = [StructField("qid", LongType()), StructField("df_global", LongTy
 
 
 def _slice_schema(shard_schema: StructType) -> StructType:
+    # docid_base (index_merge rebasing) is redundant here: cursors decode
+    # through the skips' rebased prev_docid, so slices drop the column
     keep = [f for f in shard_schema.fields
-            if f.name not in ("qid", "df_global", "n_docs_f")]
+            if f.name not in ("qid", "df_global", "n_docs_f", "docid_base")]
     return StructType(keep + _EXTRA_FIELDS)
 
 
@@ -443,7 +445,7 @@ def search_bmm(spark: SparkSession, index_root: str,
 
     out_schema = _slice_schema(spark.read.parquet(paths.shards).schema)
     col_names = [f.name for f in out_schema.fields]
-    sliced = shards.drop("n_docs_f").mapInPandas(
+    sliced = shards.drop("n_docs_f", "docid_base").mapInPandas(
         _slice_rows_fn(bounds, col_names), schema=out_schema)
     sliced = sliced.withColumn("n_docs_f", F.lit(float(n_docs)))
 

@@ -308,8 +308,16 @@ def build_index_shards(postings: DataFrame, avgdl: float,
     )
     n_parts = (num_partitions
                or postings.sparkSession.sparkContext.defaultParallelism)
+    # int32 tf/doclen/salt: tf,doclen ≤ tokens/doc << 2^31 — shrinks both
+    # the shuffle bytes and the JVM→Python Arrow transfer (the measured
+    # residual cost of the encode stage); docid stays int64 (10^12 docs).
     arranged = (
-        salted.repartition(n_parts, "term", "salt")
+        salted.select("term",
+                      F.col("salt").cast("int").alias("salt"),
+                      "docid",
+                      F.col("tf").cast("int").alias("tf"),
+                      F.col("doclen").cast("int").alias("doclen"))
+        .repartition(n_parts, "term", "salt")
         .sortWithinPartitions("term", "salt", "docid")
     )
 

@@ -167,7 +167,10 @@ def trec_output(results: DataFrame, run_name: str = "spark") -> DataFrame:
 def decode_shards(shards: DataFrame) -> DataFrame:
     """Compressed index shards → relational postings (term, docid, tf,
     doclen), vectorized decode in mapInPandas. Feed the result to
-    score_postings for the exact path over the persisted index."""
+    score_postings for the exact path over the persisted index.
+
+    A `docid_base` column (written by index_merge segment rebasing) offsets
+    the delta-decoded docids; plain builds have none (base 0)."""
     from searchenginepp_spark.functions.codecs import (
         decode_posting_list, varbyte_decode,
     )
@@ -178,6 +181,8 @@ def decode_shards(shards: DataFrame) -> DataFrame:
         StructField("tf", LongType()),
         StructField("doclen", LongType()),
     ])
+    if "docid_base" not in shards.columns:
+        shards = shards.withColumn("docid_base", F.lit(0).cast("long"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -187,7 +192,7 @@ def decode_shards(shards: DataFrame) -> DataFrame:
                 d, t = decode_posting_list(row.docid_blob, row.tf_blob, df_shard)
                 dl = varbyte_decode(row.doclen_blob, count=df_shard)
                 terms.append(np.repeat(np.array([row.term], dtype=object), df_shard))
-                docids.append(d.astype(np.int64))
+                docids.append(d.astype(np.int64) + int(row.docid_base))
                 tfs.append(t.astype(np.int64))
                 doclens.append(dl.astype(np.int64))
             if not terms:
@@ -201,7 +206,8 @@ def decode_shards(shards: DataFrame) -> DataFrame:
             })
 
     return shards.select(
-        "term", "df_shard", "docid_blob", "tf_blob", "doclen_blob"
+        "term", "df_shard", "docid_blob", "tf_blob", "doclen_blob",
+        "docid_base"
     ).mapInPandas(decode, schema=schema)
 
 

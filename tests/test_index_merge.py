@@ -1,0 +1,107 @@
+"""Segment merge: merging independently-built indexes must answer queries
+identically (by docno + score) to a from-scratch build over the whole
+corpus — blobs untouched, only skip metadata rebased."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginepp_spark.operators.bmm import search_bmm
+from searchenginepp_spark.operators.index_build import build_index
+from searchenginepp_spark.operators.index_merge import merge_indexes
+from searchenginepp_spark.operators.local_engine import LocalSearcher
+from searchenginepp_spark.operators.query import search
+from searchenginepp_spark.sources.corpus import synthesize_corpus
+
+N_DOCS = 240
+QUERIES = [(1, "sym1 sym2"), (2, "int return"), (3, "twinkle wonder"),
+           (4, "fn_1 sym5 int")]
+BIG_K = 10_000            # k > any result set: tie ORDER can't change the SET
+
+
+@pytest.fixture(scope="module")
+def merged_and_full(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("merge")
+    corpus = synthesize_corpus(spark, N_DOCS).cache()
+    half_a = corpus.filter(F.crc32("path") % 2 == 0)
+    half_b = corpus.filter(F.crc32("path") % 2 == 1)
+    build_index(spark, half_a, str(base / "a"), salt_target=64, block_size=16)
+    build_index(spark, half_b, str(base / "b"), salt_target=64, block_size=16)
+    build_index(spark, corpus, str(base / "full"), salt_target=64,
+                block_size=16)
+    merge_indexes(spark, [str(base / "a"), str(base / "b")],
+                  str(base / "merged"))
+    return str(base / "merged"), str(base / "full")
+
+
+def _by_docno(df):
+    return sorted((r["qid"], r["docno"], round(r["score"], 6))
+                  for r in df.collect())
+
+
+def test_merged_stats_and_lexicon_sum(spark, merged_and_full):
+    merged, full = merged_and_full
+    sm = spark.read.parquet(f"{merged}/stats").collect()[0]
+    sf = spark.read.parquet(f"{full}/stats").collect()[0]
+    assert (sm["n_docs"], sm["sum_doclen"]) == (sf["n_docs"], sf["sum_doclen"])
+    lm = {r["term"]: r["df"]
+          for r in spark.read.parquet(f"{merged}/global_lexicon").collect()}
+    lf = {r["term"]: r["df"]
+          for r in spark.read.parquet(f"{full}/global_lexicon").collect()}
+    assert lm == lf
+
+
+def test_merged_docids_unique_and_docmap_complete(spark, merged_and_full):
+    merged, full = merged_and_full
+    dm = spark.read.parquet(f"{merged}/docmap")
+    assert dm.count() == N_DOCS
+    assert dm.select("docid").distinct().count() == N_DOCS
+    # every docno of the full build is present
+    full_docnos = {r["docno"] for r in
+                   spark.read.parquet(f"{full}/docmap").collect()}
+    assert {r["docno"] for r in dm.collect()} == full_docnos
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "tfidf"])
+def test_merged_equals_full_build_exact_path(spark, merged_and_full, scorer):
+    merged, full = merged_and_full
+    got = _by_docno(search(spark, merged, QUERIES, k=BIG_K, scorer=scorer))
+    want = _by_docno(search(spark, full, QUERIES, k=BIG_K, scorer=scorer))
+    assert got == want
+
+
+def test_merged_bmm_and_local_match_exact(spark, merged_and_full):
+    merged, _ = merged_and_full
+    exact = _by_docno(search(spark, merged, QUERIES, k=10))
+    bmm = _by_docno(search_bmm(spark, merged, QUERIES, k=10))
+    bmm2 = _by_docno(search_bmm(spark, merged, QUERIES, k=10, n_ranges=3))
+    assert bmm == exact
+    assert bmm2 == exact
+    ls = LocalSearcher(merged)
+    local = sorted((q, docno, round(s, 6))
+                   for q, _d, docno, _r, s in ls.search(QUERIES, k=10))
+    assert local == exact
+
+
+def test_merge_rejects_single_source(spark, merged_and_full, tmp_path):
+    merged, _ = merged_and_full
+    with pytest.raises(ValueError):
+        merge_indexes(spark, [merged], str(tmp_path / "x"))
+
+
+def test_merge_of_merged_segments(spark, merged_and_full, tmp_path_factory):
+    """Re-merging an already-merged segment must compose docid bases
+    (docid_base accumulates; skips rebase again)."""
+    base = tmp_path_factory.mktemp("remerge")
+    merged, full = merged_and_full
+    extra = synthesize_corpus(spark, 60, seed=99)
+    build_index(spark, extra, str(base / "c"), salt_target=64, block_size=16)
+    merge_indexes(spark, [merged, str(base / "c")], str(base / "m2"))
+
+    big = synthesize_corpus(spark, N_DOCS).unionByName(extra)
+    build_index(spark, big, str(base / "full2"), salt_target=64,
+                block_size=16)
+    got = _by_docno(search(spark, str(base / "m2"), QUERIES, k=BIG_K))
+    want = _by_docno(search(spark, str(base / "full2"), QUERIES, k=BIG_K))
+    assert got == want
+    dm = spark.read.parquet(f"{base}/m2/docmap")
+    assert dm.select("docid").distinct().count() == N_DOCS + 60
