@@ -131,6 +131,17 @@ class _ListCursor:
         self._d_ends = d_offs[1:] + [len(self.docid_blob)]
         self._l_ends = l_offs[1:] + [len(self.doclen_blob)]
         self._t_bit_ends = t_offs[1:] + [8 * len(self.tf_blob)]
+        if scorer == "bm25":
+            # bounds were computed under the ENCODE-time avgdl; if the
+            # collection avgdl has grown (merged segments), scale them up —
+            # part(avgdl_q)/part(avgdl_e) ≤ avgdl_q/avgdl_e, so this stays
+            # a sound upper bound (see index_build._SHARD_SCHEMA note)
+            ae = _row_field(row, "avgdl_encode")
+            aq = _row_field(row, "avgdl_f")
+            if ae and aq and float(aq) > float(ae):
+                scale = float(aq) / float(ae)
+                self.sigma *= scale
+                self.block_ubs = self.block_ubs * scale
         lo = _row_field(row, "lo")
         hi = _row_field(row, "hi")
         self.lo = None if lo is None else int(lo)
@@ -278,7 +289,8 @@ def _slice_schema(shard_schema: StructType) -> StructType:
     # docid_base (index_merge rebasing) is redundant here: cursors decode
     # through the skips' rebased prev_docid, so slices drop the column
     keep = [f for f in shard_schema.fields
-            if f.name not in ("qid", "df_global", "n_docs_f", "docid_base")]
+            if f.name not in ("qid", "df_global", "n_docs_f", "avgdl_f",
+                              "docid_base")]
     return StructType(keep + _EXTRA_FIELDS)
 
 
@@ -345,6 +357,9 @@ def _slice_rows_fn(bounds: np.ndarray, col_names: list[str]):
                     out["doclen_blob"].append(l_blob[l0:l_ends[b1]])
                     out["sigma_bm25_part"].append(max(bm_ubs[b0:b1 + 1]))
                     out["sigma_tfidf_part"].append(max(tf_ubs[b0:b1 + 1]))
+                    if "avgdl_encode" in out:
+                        out["avgdl_encode"].append(
+                            float(getattr(row, "avgdl_encode")))
                     out["skips"].append(skips)
                     out["qid"].append(row.qid)
                     out["df_global"].append(row.df_global)
@@ -407,6 +422,7 @@ def search_bmm(spark: SparkSession, index_root: str,
         .join(F.broadcast(lexicon.withColumnRenamed("df", "df_global")), "term")
         .join(F.broadcast(qterms), "term")
         .withColumn("n_docs_f", F.lit(float(n_docs)))
+        .withColumn("avgdl_f", F.lit(float(avgdl)))
     )
     scorer_fn = _make_scorer(scorer, float(avgdl), BM25_K1, BM25_B)
     kk = int(k)
@@ -445,9 +461,10 @@ def search_bmm(spark: SparkSession, index_root: str,
 
     out_schema = _slice_schema(spark.read.parquet(paths.shards).schema)
     col_names = [f.name for f in out_schema.fields]
-    sliced = shards.drop("n_docs_f", "docid_base").mapInPandas(
+    sliced = shards.drop("n_docs_f", "avgdl_f", "docid_base").mapInPandas(
         _slice_rows_fn(bounds, col_names), schema=out_schema)
-    sliced = sliced.withColumn("n_docs_f", F.lit(float(n_docs)))
+    sliced = (sliced.withColumn("n_docs_f", F.lit(float(n_docs)))
+              .withColumn("avgdl_f", F.lit(float(avgdl))))
 
     def run_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])

@@ -206,6 +206,13 @@ _SHARD_SCHEMA = StructType([
     StructField("doclen_blob", BinaryType()),
     StructField("sigma_bm25_part", DoubleType()),
     StructField("sigma_tfidf_part", DoubleType()),
+    # avgdl the BM25 score parts were computed under.  BM25 part is
+    # increasing in avgdl, so when index segments are merged and the
+    # COLLECTION avgdl grows past this value, stored bounds would
+    # understate true scores; query paths scale bm25 bounds by
+    # max(1, avgdl_query/avgdl_encode) — a sound upper bound because
+    # part(avgdl_q)/part(avgdl_e) ≤ avgdl_q/avgdl_e for all (tf, dl).
+    StructField("avgdl_encode", DoubleType()),
     StructField("skips", SKIP_FIELD),
 ])
 
@@ -262,6 +269,7 @@ def _encode_groups(terms, salts_np, docids_np, tfs_np, dl_np, change,
             "doclen_blob": varbyte_encode(doclens),
             "sigma_bm25_part": float(bm25_part.max()),
             "sigma_tfidf_part": float(tfidf_part.max()),
+            "avgdl_encode": float(avgdl),
             "skips": skips,
         })
     return rows
@@ -336,6 +344,7 @@ def build_index_shards(postings: DataFrame, avgdl: float,
         ("last_docid", pa.int64()), ("docid_blob", pa.binary()),
         ("tf_blob", pa.binary()), ("doclen_blob", pa.binary()),
         ("sigma_bm25_part", pa.float64()), ("sigma_tfidf_part", pa.float64()),
+        ("avgdl_encode", pa.float64()),
         ("skips", pa_skip),
     ])
 

@@ -77,12 +77,42 @@ def _rebase_shards(shards: DataFrame, base: int, seg: int) -> DataFrame:
     )
 
 
+def compact_index(spark: SparkSession, root: str | IndexPaths,
+                  out: str | IndexPaths, **build_kwargs) -> IndexPaths:
+    """Rewrite a (typically merged, fragmented) index into freshly encoded
+    shards — the LSM 'compaction' complement of merge_indexes.  Decodes the
+    shard table back to relational postings (docid_base-aware) and re-runs
+    the normal salted shuffle + streaming encoder, so K accumulated
+    sub-list rows per term collapse to ceil(df/salt_target) again.  The
+    docmap and stats are copied unchanged (docids are already global)."""
+    from searchenginepp_spark.operators.index_build import build_index_shards
+    from searchenginepp_spark.operators.query import decode_shards
+
+    src = root if isinstance(root, IndexPaths) else IndexPaths(root)
+    paths = out if isinstance(out, IndexPaths) else IndexPaths(out)
+    stats = spark.read.parquet(src.stats).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = (stats["sum_doclen"] / n_docs) if n_docs else 0.0
+    postings = decode_shards(spark.read.parquet(src.shards))
+    shards = build_index_shards(postings, float(avgdl), **build_kwargs)
+    shards.write.mode("overwrite").parquet(paths.shards)
+    spark.read.parquet(src.docmap).write.mode("overwrite").parquet(paths.docmap)
+    spark.read.parquet(src.stats).write.mode("overwrite").parquet(paths.stats)
+    (spark.read.parquet(paths.shards)
+     .groupBy("term").agg(F.sum("df_shard").alias("df"))
+     .write.mode("overwrite").parquet(paths.lexicon))
+    return paths
+
+
 def merge_indexes(spark: SparkSession, roots: list[str],
-                  out: str | IndexPaths) -> IndexPaths:
+                  out: str | IndexPaths, rebase: bool = True) -> IndexPaths:
     """Merge K persisted indexes (disjoint corpora) into one at `out`.
 
-    Segment i's docids are rebased by Σ_{j<i} max_docid_j (docmap max, so
-    non-dense docid spaces merge correctly)."""
+    rebase=True: segment i's docids shift by Σ_{j<i} max_docid_j (docmap
+    max, so non-dense docid spaces merge correctly).  rebase=False: the
+    segments already share one global docid space (e.g. incremental delta
+    segments built from the same staged sequence) — docids pass through
+    unchanged (caller guarantees disjointness)."""
     if len(roots) < 2:
         raise ValueError("merge_indexes needs at least two source indexes")
     paths = out if isinstance(out, IndexPaths) else IndexPaths(out)
@@ -92,10 +122,11 @@ def merge_indexes(spark: SparkSession, roots: list[str],
     acc = 0
     stats_rows = []
     for s in srcs:
-        bases.append(acc)
-        row = spark.read.parquet(s.docmap).agg(
-            F.coalesce(F.max("docid"), F.lit(0)).alias("m")).collect()[0]
-        acc += int(row["m"])
+        bases.append(acc if rebase else 0)
+        if rebase:
+            row = spark.read.parquet(s.docmap).agg(
+                F.coalesce(F.max("docid"), F.lit(0)).alias("m")).collect()[0]
+            acc += int(row["m"])
         stats_rows.append(spark.read.parquet(s.stats).collect()[0])
 
     docmap = None
@@ -105,7 +136,11 @@ def merge_indexes(spark: SparkSession, roots: list[str],
             "docid", F.col("docid") + F.lit(base).cast("long"))
         sh = _rebase_shards(spark.read.parquet(s.shards), base, i)
         docmap = dm if docmap is None else docmap.unionByName(dm)
-        shards = sh if shards is None else shards.unionByName(sh)
+        # allowMissingColumns: segments built before a schema addition
+        # (e.g. avgdl_encode) union as null — query paths treat null as
+        # "no metadata", staying conservative
+        shards = (sh if shards is None
+                  else shards.unionByName(sh, allowMissingColumns=True))
 
     docmap.write.mode("overwrite").parquet(paths.docmap)
     shards.write.mode("overwrite").parquet(paths.shards)

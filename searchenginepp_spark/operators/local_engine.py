@@ -35,7 +35,7 @@ from searchenginepp_spark.operators.bmm import (
 from searchenginepp_spark.operators.index_build import IndexPaths
 
 _SHARD_COLS = ["term", "df_shard", "docid_blob", "tf_blob", "doclen_blob",
-               "sigma_bm25_part", "sigma_tfidf_part", "skips"]
+               "sigma_bm25_part", "sigma_tfidf_part", "avgdl_encode", "skips"]
 
 
 class LocalSearcher:
@@ -69,13 +69,16 @@ class LocalSearcher:
             else:
                 missing.append(t)
         if missing:
+            cols = [c for c in _SHARD_COLS
+                    if c in self._shards_ds.schema.names]  # pre-avgdl indexes
             tbl = self._shards_ds.to_table(
-                columns=_SHARD_COLS,
+                columns=cols,
                 filter=pads.field("term").isin(missing))
             fresh: dict[str, list] = {t: [] for t in missing}
             for row in tbl.to_pylist():
                 row["df_global"] = self.df_by_term[row["term"]]
                 row["n_docs_f"] = float(self.n_docs)
+                row["avgdl_f"] = float(self.avgdl)
                 fresh[row["term"]].append(
                     _ListCursor(SimpleNamespace(**row), scorer))
             if len(self._cursor_cache) + len(fresh) > self._cursor_cache_cap:

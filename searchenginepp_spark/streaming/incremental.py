@@ -142,6 +142,88 @@ def start_ingest(spark: SparkSession, corpus_dir: str, staging_root: str,
     return writer.start()
 
 
+def refresh_index(spark: SparkSession, staging_root: str, out: str,
+                  prev_root: str | None = None,
+                  salt_target: int = SALT_TARGET_POSTINGS,
+                  block_size: int = SKIP_BLOCK_SIZE,
+                  term_partitions: int | None = None) -> IndexPaths:
+    """Incremental finalize: fold staged batches NOT yet in `prev_root`
+    into a new index at `out`, touching only the NEW data.
+
+    The delta batches become a fresh index segment (their staged docids
+    already continue the global sequence, so the segment merges with the
+    previous index WITHOUT rebasing), combined via index_merge's
+    metadata-only merge — cost is O(delta) + O(shard metadata), never a
+    re-encode of the existing posting blobs.  The delta segment's BM25
+    bounds are encoded under the UPDATED collection avgdl; the previous
+    segments' (possibly stale) bounds stay sound through the
+    avgdl_encode scaling in the query paths.  Folded batch ids are
+    recorded in {out}/manifest/folded_batches.json; pass the previous
+    root back as `prev_root` on the next call.  First call
+    (prev_root=None) folds everything committed (≡ finalize_index).
+    """
+    import json
+    import os
+
+    from searchenginepp_spark.operators.index_build import build_stats
+    from searchenginepp_spark.operators.index_merge import merge_indexes
+
+    staging = StagingPaths(staging_root)
+    paths = IndexPaths(out)
+    committed = {int(p.rstrip("/").rsplit("batch=", 1)[1]): p
+                 for p in _committed_batch_dirs(spark, staging.docmap)}
+    post_dirs = {int(p.rstrip("/").rsplit("batch=", 1)[1]): p
+                 for p in _committed_batch_dirs(spark, staging.postings)}
+    folded: list[int] = []
+    if prev_root is not None:
+        ff = os.path.join(IndexPaths(prev_root).manifest,
+                          "folded_batches.json")
+        with open(ff) as f:
+            folded = json.load(f)["batches"]
+    new_ids = sorted(set(committed) - set(folded))
+
+    if prev_root is None:
+        finalize_index(spark, staging_root, out, salt_target=salt_target,
+                       block_size=block_size,
+                       term_partitions=term_partitions)
+    elif not new_ids:
+        # nothing new: the fresh root is a metadata copy of the previous
+        for attr in ("docmap", "shards", "stats", "lexicon"):
+            src = getattr(IndexPaths(prev_root), attr)
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                getattr(paths, attr))
+    else:
+        import tempfile
+
+        delta = IndexPaths(tempfile.mkdtemp(prefix="sepp_delta_"))
+        dm = spark.read.parquet(
+            *[committed[i] for i in new_ids]).select(*_DOCMAP_COLS)
+        dm.write.mode("overwrite").parquet(delta.docmap)
+        build_stats(dm).write.mode("overwrite").parquet(delta.stats)
+        prev_stats = spark.read.parquet(IndexPaths(prev_root).stats).collect()[0]
+        d_stats = spark.read.parquet(delta.stats).collect()[0]
+        n_docs = int(prev_stats["n_docs"]) + int(d_stats["n_docs"])
+        sum_dl = (int(prev_stats["sum_doclen"] or 0)
+                  + int(d_stats["sum_doclen"] or 0))
+        avgdl_new = sum_dl / n_docs if n_docs else 0.0   # updated collection
+        postings = spark.read.parquet(
+            *[post_dirs[i] for i in new_ids]).select(*_POSTING_COLS)
+        shards = build_index_shards(postings, float(avgdl_new),
+                                    salt_target=salt_target,
+                                    num_partitions=term_partitions,
+                                    block_size=block_size)
+        shards.write.mode("overwrite").parquet(delta.shards)
+        (spark.read.parquet(delta.shards)
+         .groupBy("term").agg(F.sum("df_shard").alias("df"))
+         .write.mode("overwrite").parquet(delta.lexicon))
+        merge_indexes(spark, [prev_root, delta.root], paths, rebase=False)
+
+    os.makedirs(paths.manifest, exist_ok=True)
+    with open(os.path.join(paths.manifest, "folded_batches.json"), "w") as f:
+        json.dump({"batches": sorted(set(folded) | set(new_ids))}, f)
+    return paths
+
+
 def finalize_index(spark: SparkSession, staging_root: str, out: str,
                    salt_target: int = SALT_TARGET_POSTINGS,
                    block_size: int = SKIP_BLOCK_SIZE,

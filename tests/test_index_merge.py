@@ -105,3 +105,76 @@ def test_merge_of_merged_segments(spark, merged_and_full, tmp_path_factory):
     assert got == want
     dm = spark.read.parquet(f"{base}/m2/docmap")
     assert dm.select("docid").distinct().count() == N_DOCS + 60
+
+
+def test_compaction_defragments_and_preserves_results(spark, merged_and_full,
+                                                      tmp_path_factory):
+    """compact_index rewrites a fragmented merged index into freshly
+    encoded shards: fewer rows per term, identical answers."""
+    from searchenginepp_spark.operators.index_merge import compact_index
+
+    merged, _ = merged_and_full
+    out = str(tmp_path_factory.mktemp("compacted"))
+    compact_index(spark, merged, out, salt_target=64, block_size=16)
+
+    rows_before = (spark.read.parquet(f"{merged}/index_shards")
+                   .groupBy("term").count())
+    rows_after = (spark.read.parquet(f"{out}/index_shards")
+                  .groupBy("term").count())
+    before = {r["term"]: r["count"] for r in rows_before.collect()}
+    after = {r["term"]: r["count"] for r in rows_after.collect()}
+    assert set(after) == set(before)
+    assert all(after[t] <= before[t] for t in after)
+    assert any(after[t] < before[t] for t in after)   # actually defragmented
+
+    got = _by_docno(search(spark, out, QUERIES, k=BIG_K))
+    want = _by_docno(search(spark, merged, QUERIES, k=BIG_K))
+    assert got == want
+    # pruned fast path + serving reader still work on the compacted index
+    assert _by_docno(search_bmm(spark, out, QUERIES, k=10)) == \
+        _by_docno(search(spark, out, QUERIES, k=10))
+
+
+def test_merged_bmm_sound_under_avgdl_shift(spark, tmp_path_factory):
+    """Adversarial merge: segment A has SHORT docs (small avgdl), segment B
+    long docs, so the merged collection avgdl far exceeds A's encode-time
+    avgdl and A's stored BM25 bounds understate true scores.  The
+    avgdl_encode scaling must keep BMM (and LocalSearcher) rank-identical
+    to the exact path on the merged index."""
+    base = tmp_path_factory.mktemp("avgdl_shift")
+    short_rows = [("orgA", f"a{i}.c", f"c{i:040d}", "c",
+                   f"alphaterm betaterm sym{i % 7}")
+                  for i in range(60)]
+    long_rows = [("orgB", f"b{i}.c", f"d{i:040d}", "c",
+                  ("alphaterm " if i % 3 == 0 else "")
+                  + "filler" + " filler" * 400 + f" sym{i % 7}")
+                 for i in range(60)]
+    schema = "repo string, path string, commit string, lang string, content string"
+    a = spark.createDataFrame(short_rows, schema)
+    b = spark.createDataFrame(long_rows, schema)
+    build_index(spark, a, str(base / "a"), salt_target=16, block_size=8)
+    build_index(spark, b, str(base / "b"), salt_target=16, block_size=8)
+    merge_indexes(spark, [str(base / "a"), str(base / "b")],
+                  str(base / "m"))
+    sa = spark.read.parquet(f"{base}/a/stats").collect()[0]
+    sm = spark.read.parquet(f"{base}/m/stats").collect()[0]
+    avgdl_a = sa["sum_doclen"] / sa["n_docs"]
+    avgdl_m = sm["sum_doclen"] / sm["n_docs"]
+    assert avgdl_m > 10 * avgdl_a            # the shift is real
+
+    queries = [(1, "alphaterm betaterm"), (2, "alphaterm sym1"),
+               (3, "betaterm sym2 filler")]
+    for k in (3, 5, 10):
+        exact = _by_docno(search(spark, str(base / "m"), queries, k=k,
+                                 stem=False))
+        bmm = _by_docno(search_bmm(spark, str(base / "m"), queries, k=k,
+                                   stem=False))
+        bmm2 = _by_docno(search_bmm(spark, str(base / "m"), queries, k=k,
+                                    stem=False, n_ranges=2))
+        assert bmm == exact, f"k={k}"
+        assert bmm2 == exact, f"k={k} two-level"
+    ls = LocalSearcher(str(base / "m"), stem=False)
+    local = sorted((q, docno, round(s, 6))
+                   for q, _d, docno, _r, s in ls.search(queries, k=5))
+    assert local == _by_docno(search(spark, str(base / "m"), queries, k=5,
+                                     stem=False))

@@ -6,6 +6,7 @@ queries identically to a one-shot batch build."""
 import pytest
 from pyspark.sql import functions as F
 
+from searchenginepp_spark.operators.bmm import search_bmm
 from searchenginepp_spark.operators.index_build import build_index
 from searchenginepp_spark.operators.query import search
 from searchenginepp_spark.sources.corpus import synthesize_corpus
@@ -115,3 +116,46 @@ def test_stage_batch_replay_is_idempotent(spark, tmp_path):
     _stage_batch(spark, b2, 1, staging, stem=True)      # replay batch 1
     assert sorted(map(tuple,
                       read_staged_postings(spark, staging).collect())) == post1
+
+
+def test_refresh_index_incremental_folding(spark, tmp_path):
+    """refresh_index folds ONLY newly staged batches into a delta segment
+    and merges it metadata-only with the previous index: results equal a
+    from-scratch batch build over everything ingested so far."""
+    from searchenginepp_spark.streaming.incremental import refresh_index
+
+    corpus = synthesize_corpus(spark, 150).cache()
+    wave1 = corpus.filter(F.crc32("path") % 3 != 0)
+    wave2 = corpus.subtract(wave1)
+    in_dir = str(tmp_path / "arrivals")
+    staging = str(tmp_path / "staging")
+
+    wave1.write.mode("append").parquet(in_dir)
+    start_ingest(spark, in_dir, staging, available_now=True)
+    idx1 = str(tmp_path / "idx1")
+    refresh_index(spark, staging, idx1, salt_target=64, block_size=16)
+    n1 = spark.read.parquet(f"{idx1}/docmap").count()
+    assert n1 == wave1.count()
+
+    wave2.write.mode("append").parquet(in_dir)
+    start_ingest(spark, in_dir, staging, available_now=True)
+    idx2 = str(tmp_path / "idx2")
+    refresh_index(spark, staging, idx2, prev_root=idx1,
+                  salt_target=64, block_size=16)
+    assert spark.read.parquet(f"{idx2}/docmap").count() == 150
+
+    batch_root = str(tmp_path / "batch")
+    build_index(spark, corpus, batch_root, salt_target=64, block_size=16)
+    got = _by_docno(search(spark, idx2, QUERIES, k=1000))
+    want = _by_docno(search(spark, batch_root, QUERIES, k=1000))
+    assert got == want
+    # BMM stays sound on the refreshed (multi-segment) index
+    got_bmm = _by_docno(search_bmm(spark, idx2, QUERIES, k=10))
+    assert got_bmm == _by_docno(search(spark, idx2, QUERIES, k=10))
+
+    # a third refresh with nothing new is a copy, not a rebuild
+    idx3 = str(tmp_path / "idx3")
+    refresh_index(spark, staging, idx3, prev_root=idx2,
+                  salt_target=64, block_size=16)
+    assert _by_docno(search(spark, idx3, QUERIES, k=10)) == \
+        _by_docno(search(spark, idx2, QUERIES, k=10))
