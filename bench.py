@@ -236,17 +236,24 @@ def _scaling_subprocess(cores: int, n_docs: int, workdir: str) -> dict:
     return json.loads(last[-1])
 
 
-def run_scaling() -> dict:
+def run_scaling() -> dict | None:
     lo_runs, hi_runs = [], []
+    errors = []
     tmp = tempfile.mkdtemp(prefix="sepp_scaling_")
     try:
         for _ in range(SCALING_RUNS):            # alternate lo/hi
-            lo_runs.append(_scaling_subprocess(
-                SCALING_N, SCALING_DOCS, f"{tmp}/lo"))
-            hi_runs.append(_scaling_subprocess(
-                SCALING_N * 4, SCALING_DOCS, f"{tmp}/hi"))
+            for cores, acc, sub in ((SCALING_N, lo_runs, "lo"),
+                                    (SCALING_N * 4, hi_runs, "hi")):
+                try:
+                    acc.append(_scaling_subprocess(
+                        cores, SCALING_DOCS, f"{tmp}/{sub}"))
+                except Exception as exc:         # record partial evidence
+                    errors.append(f"{cores}c: {exc}"[:300])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    if not lo_runs or not hi_runs:
+        return {"error": "scaling runs failed", "details": errors,
+                "n_lo": len(lo_runs), "n_hi": len(hi_runs)}
     lo = min(lo_runs, key=lambda r: r["build_s"])
     hi = min(hi_runs, key=lambda r: r["build_s"])
     cpu_lo = min(r["cpu_s"] for r in lo_runs)
@@ -271,6 +278,7 @@ def run_scaling() -> dict:
         "utilization_4n": round(cpu_hi / (hi["build_s"] + 1e-9)
                                 / (SCALING_N * 4), 2),
         "phases_n": lo["phases"], "phases_4n": hi["phases"],
+        **({"run_errors": errors} if errors else {}),
     }
 
 
@@ -280,7 +288,7 @@ def main() -> None:
         big = run_build(CPUS, N_DOCS, f"{tmp}/big")
         scaling = run_scaling() if DO_SCALING else None
         cpu = cpu_probe()
-        if scaling is not None:
+        if scaling is not None and "efficiency" in scaling:
             # the host's SAME-WINDOW delivered parallelism bounds any
             # wall-clock efficiency: ceiling = speedup(4N)/(4*speedup(N));
             # efficiency_vs_host_ceiling reads out how much of the
