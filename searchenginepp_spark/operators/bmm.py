@@ -429,6 +429,19 @@ def search_bmm(spark: SparkSession, index_root: str,
     rnd = round_to
     eps = 10.0 ** -rnd if rnd is not None else 0.0
 
+    span = None
+    if n_ranges > 1:
+        span = spark.read.parquet(paths.shards).filter(
+            F.col("term").isin(terms)).agg(
+            F.min("first_docid").alias("lo"), F.max("last_docid").alias("hi")
+        ).collect()[0]                    # metadata columns only — blobs pruned
+        if span["lo"] is None:
+            # none of the query terms exist in the index (ADVICE round 2):
+            # the span agg over zero shard rows returns NULLs.  Collapse to
+            # the single-task path, whose applyInPandas over the empty shard
+            # frame yields the same empty result as the exact path.
+            n_ranges = 1
+
     if n_ranges <= 1:
         def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(pdf["qid"].iloc[0])
@@ -450,10 +463,6 @@ def search_bmm(spark: SparkSession, index_root: str,
         return resolve_docnos(results, spark.read.parquet(paths.docmap))
 
     # ---- two-level path: slice by docid range, MaxScore per range, merge
-    span = spark.read.parquet(paths.shards).filter(
-        F.col("term").isin(terms)).agg(
-        F.min("first_docid").alias("lo"), F.max("last_docid").alias("hi")
-    ).collect()[0]                        # metadata columns only — blobs pruned
     d_lo, d_hi = int(span["lo"]), int(span["hi"])
     bounds = np.array(
         [d_lo + (d_hi - d_lo + 1) * i // n_ranges

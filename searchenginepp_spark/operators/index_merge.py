@@ -135,10 +135,26 @@ def merge_indexes(spark: SparkSession, roots: list[str],
         dm = spark.read.parquet(s.docmap).withColumn(
             "docid", F.col("docid") + F.lit(base).cast("long"))
         sh = _rebase_shards(spark.read.parquet(s.shards), base, i)
+        # Segments built before the avgdl_encode schema addition carry no
+        # record of the avgdl their BM25 σ/block bounds were computed under —
+        # and _ListCursor skips the bound scaling when it is null, which is
+        # UNSOUND once the merged collection avgdl exceeds the segment's
+        # (ADVICE round 2).  A direct build/finalize encodes under its own
+        # collection avgdl, which IS the segment's stats avgdl — so backfill
+        # exactly that value here (per segment, before the union).  Corner:
+        # a PRE-SCHEMA segment that was itself a merge would need its
+        # sub-segments' encode avgdls (unknowable); no such segment can
+        # exist from this codebase — merge_indexes has always written
+        # avgdl_encode (backfilled here) since the column was introduced.
+        n_i = int(stats_rows[i]["n_docs"])
+        avgdl_i = (int(stats_rows[i]["sum_doclen"] or 0) / n_i) if n_i else 0.0
+        if "avgdl_encode" not in sh.columns:
+            sh = sh.withColumn("avgdl_encode", F.lit(float(avgdl_i)))
+        else:
+            sh = sh.withColumn(
+                "avgdl_encode",
+                F.coalesce(F.col("avgdl_encode"), F.lit(float(avgdl_i))))
         docmap = dm if docmap is None else docmap.unionByName(dm)
-        # allowMissingColumns: segments built before a schema addition
-        # (e.g. avgdl_encode) union as null — query paths treat null as
-        # "no metadata", staying conservative
         shards = (sh if shards is None
                   else shards.unionByName(sh, allowMissingColumns=True))
 

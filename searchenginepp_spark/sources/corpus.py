@@ -72,7 +72,8 @@ def assign_docids_window(df: DataFrame, order_cols=("repo", "path", "commit")) -
 
 def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
                   num_partitions: int | None = None,
-                  return_handle: bool = False):
+                  return_handle: bool = False,
+                  start: int | None = None):
     """Distributed deterministic docid assignment (zipWithIndex as DataFrame).
 
     1. range-partition + sort by the ordering key (total order across
@@ -83,6 +84,9 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
 
     Equivalent to row_number() OVER (ORDER BY order_cols) for a unique key,
     but every stage is distributed — this is the 10^12-row path.
+
+    start: first docid to assign (default DOCID_START) — incremental
+    ingestion continues a staged sequence from its base offset.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -100,7 +104,7 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
         r["__pid"]: r["count"] for r in part.groupBy("__pid").count().collect()
     }
     offsets = {}
-    acc = DOCID_START
+    acc = DOCID_START if start is None else int(start)
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]

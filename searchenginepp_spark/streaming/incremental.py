@@ -89,18 +89,24 @@ def _stage_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
         row = spark.read.parquet(*committed).agg(
             F.max("docid").alias("m")).collect()[0]
         base = int(row["m"] or 0)
-    # deterministic within-batch order; offset continues the staged sequence
-    from pyspark.sql import Window
+    # deterministic within-batch order; offset continues the staged
+    # sequence.  Distributed assignment (range-partition + cumsum offsets),
+    # NOT a global window — a large backlog arriving as one micro-batch must
+    # not funnel through a single reducer (ADVICE round 2).
+    from searchenginepp_spark.sources.corpus import assign_docids
 
-    w = Window.orderBy("repo", "path", "commit")
-    prepared = with_content_sha256(with_docno(batch)).withColumn(
-        "docid", (F.row_number().over(w) + F.lit(base)).cast("long"))
-    # per-batch dir + overwrite = idempotent under micro-batch replay
-    (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
-     .select(*_DOCMAP_COLS)
-     .write.mode("overwrite").parquet(f"{staging.docmap}/batch={batch_id}"))
-    explode_postings(prepared, stem=stem).select(*_POSTING_COLS).write.mode(
-        "overwrite").parquet(f"{staging.postings}/batch={batch_id}")
+    prepared, handle = assign_docids(
+        with_content_sha256(with_docno(batch)), start=base + 1,
+        return_handle=True)
+    try:
+        # per-batch dir + overwrite = idempotent under micro-batch replay
+        (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
+         .select(*_DOCMAP_COLS)
+         .write.mode("overwrite").parquet(f"{staging.docmap}/batch={batch_id}"))
+        explode_postings(prepared, stem=stem).select(*_POSTING_COLS).write.mode(
+            "overwrite").parquet(f"{staging.postings}/batch={batch_id}")
+    finally:
+        handle.unpersist()
 
 
 def read_staged_docmap(spark: SparkSession, staging: StagingPaths) -> DataFrame:
@@ -178,8 +184,13 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
     if prev_root is not None:
         ff = os.path.join(IndexPaths(prev_root).manifest,
                           "folded_batches.json")
-        with open(ff) as f:
-            folded = json.load(f)["batches"]
+        # A missing manifest means the previous index folded no staged
+        # batches (e.g. built by build_index over a separate corpus) —
+        # everything committed is new (ADVICE round 2; finalize_index and
+        # refresh_index both write the manifest for their own outputs).
+        if os.path.exists(ff):
+            with open(ff) as f:
+                folded = json.load(f)["batches"]
     new_ids = sorted(set(committed) - set(folded))
 
     if prev_root is None:
@@ -193,34 +204,37 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
             spark.read.parquet(src).write.mode("overwrite").parquet(
                 getattr(paths, attr))
     else:
+        import shutil
         import tempfile
 
         delta = IndexPaths(tempfile.mkdtemp(prefix="sepp_delta_"))
-        dm = spark.read.parquet(
-            *[committed[i] for i in new_ids]).select(*_DOCMAP_COLS)
-        dm.write.mode("overwrite").parquet(delta.docmap)
-        build_stats(dm).write.mode("overwrite").parquet(delta.stats)
-        prev_stats = spark.read.parquet(IndexPaths(prev_root).stats).collect()[0]
-        d_stats = spark.read.parquet(delta.stats).collect()[0]
-        n_docs = int(prev_stats["n_docs"]) + int(d_stats["n_docs"])
-        sum_dl = (int(prev_stats["sum_doclen"] or 0)
-                  + int(d_stats["sum_doclen"] or 0))
-        avgdl_new = sum_dl / n_docs if n_docs else 0.0   # updated collection
-        postings = spark.read.parquet(
-            *[post_dirs[i] for i in new_ids]).select(*_POSTING_COLS)
-        shards = build_index_shards(postings, float(avgdl_new),
-                                    salt_target=salt_target,
-                                    num_partitions=term_partitions,
-                                    block_size=block_size)
-        shards.write.mode("overwrite").parquet(delta.shards)
-        (spark.read.parquet(delta.shards)
-         .groupBy("term").agg(F.sum("df_shard").alias("df"))
-         .write.mode("overwrite").parquet(delta.lexicon))
-        merge_indexes(spark, [prev_root, delta.root], paths, rebase=False)
+        try:
+            dm = spark.read.parquet(
+                *[committed[i] for i in new_ids]).select(*_DOCMAP_COLS)
+            dm.write.mode("overwrite").parquet(delta.docmap)
+            build_stats(dm).write.mode("overwrite").parquet(delta.stats)
+            prev_stats = spark.read.parquet(
+                IndexPaths(prev_root).stats).collect()[0]
+            d_stats = spark.read.parquet(delta.stats).collect()[0]
+            n_docs = int(prev_stats["n_docs"]) + int(d_stats["n_docs"])
+            sum_dl = (int(prev_stats["sum_doclen"] or 0)
+                      + int(d_stats["sum_doclen"] or 0))
+            avgdl_new = sum_dl / n_docs if n_docs else 0.0  # updated collection
+            postings = spark.read.parquet(
+                *[post_dirs[i] for i in new_ids]).select(*_POSTING_COLS)
+            shards = build_index_shards(postings, float(avgdl_new),
+                                        salt_target=salt_target,
+                                        num_partitions=term_partitions,
+                                        block_size=block_size)
+            shards.write.mode("overwrite").parquet(delta.shards)
+            (spark.read.parquet(delta.shards)
+             .groupBy("term").agg(F.sum("df_shard").alias("df"))
+             .write.mode("overwrite").parquet(delta.lexicon))
+            merge_indexes(spark, [prev_root, delta.root], paths, rebase=False)
+        finally:
+            shutil.rmtree(delta.root, ignore_errors=True)
 
-    os.makedirs(paths.manifest, exist_ok=True)
-    with open(os.path.join(paths.manifest, "folded_batches.json"), "w") as f:
-        json.dump({"batches": sorted(set(folded) | set(new_ids))}, f)
+    _write_folded_manifest(paths, sorted(set(folded) | set(new_ids)))
     return paths
 
 
@@ -250,4 +264,18 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
     (spark.read.parquet(paths.shards)
      .groupBy("term").agg(F.sum("df_shard").alias("df"))
      .write.mode("overwrite").parquet(paths.lexicon))
+    _write_folded_manifest(paths, sorted(
+        int(p.rstrip("/").rsplit("batch=", 1)[1])
+        for p in _committed_batch_dirs(spark, staging.docmap)))
     return paths
+
+
+def _write_folded_manifest(paths: IndexPaths, batch_ids: list[int]) -> None:
+    """Record which staged batch ids this index contains — refresh_index
+    reads it back to fold only the delta on the next call."""
+    import json
+    import os
+
+    os.makedirs(paths.manifest, exist_ok=True)
+    with open(os.path.join(paths.manifest, "folded_batches.json"), "w") as f:
+        json.dump({"batches": sorted(batch_ids)}, f)

@@ -201,3 +201,24 @@ def test_block_decode_is_block_bounded(spark, built):
         got_ids, got_sc = _ListCursor(T, "bm25").decode_block(b, fn)
         assert (got_ids == want_ids).all()
         assert np.allclose(got_sc, want_sc)
+
+
+def test_bmm_all_miss_query_explicit_ranges(spark, built):
+    """Explicit n_ranges>1 with a query set whose terms are all absent from
+    the index: the level-1 span agg sees zero shard rows (NULL lo/hi) and
+    must fall back to the single-task path's empty result instead of
+    crashing (ADVICE round 2)."""
+    misses = [(1, "zzznope qqqabsent"), (2, "xxmissing")]
+    exact = search(spark, built, misses, k=10)
+    bmm = search_bmm(spark, built, misses, k=10, n_ranges=4)
+    assert _rows(bmm) == _rows(exact) == []
+
+
+def test_bmm_mixed_hit_and_miss_queries_two_level(spark, built):
+    """One query hits, one misses entirely — the two-level path must return
+    the hit query's results and nothing for the miss."""
+    mixed = [(1, "sym1 sym2"), (2, "zzznope")]
+    exact = search(spark, built, mixed, k=10)
+    bmm = search_bmm(spark, built, mixed, k=10, n_ranges=4)
+    assert _rows(bmm) == _rows(exact)
+    assert {r[0] for r in _rows(bmm)} == {1}

@@ -178,3 +178,47 @@ def test_merged_bmm_sound_under_avgdl_shift(spark, tmp_path_factory):
                    for q, _d, docno, _r, s in ls.search(queries, k=5))
     assert local == _by_docno(search(spark, str(base / "m"), queries, k=5,
                                      stem=False))
+
+
+def test_merge_backfills_null_avgdl_encode(spark, tmp_path):
+    """A legacy segment lacking the avgdl_encode column (pre-schema build)
+    must have it BACKFILLED from the segment's own stats at merge time —
+    _ListCursor skips bound scaling on null, which is unsound once the
+    merged collection avgdl exceeds the legacy segment's (ADVICE round 2).
+    Short legacy segment + long other segment makes the merged avgdl exceed
+    the legacy encode avgdl, the exact case the scaling protects."""
+    corpus = synthesize_corpus(spark, 200).cache()
+    doclens = corpus.withColumn("n", F.size(F.split("content", " ")))
+    short = doclens.filter(F.col("n") <= 150).drop("n")
+    long_ = doclens.filter(F.col("n") > 150).drop("n")
+    assert short.count() and long_.count()
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, short, a, salt_target=64, block_size=16)
+    build_index(spark, long_, b, salt_target=64, block_size=16)
+
+    # strip avgdl_encode from segment a — simulate a pre-schema segment
+    legacy = spark.read.parquet(f"{a}/index_shards").drop("avgdl_encode")
+    legacy_dir = str(tmp_path / "a_legacy_shards")
+    legacy.write.parquet(legacy_dir)
+    import shutil
+    shutil.rmtree(f"{a}/index_shards")
+    shutil.move(legacy_dir, f"{a}/index_shards")
+
+    merged = str(tmp_path / "merged")
+    merge_indexes(spark, [a, b], merged)
+    sh = spark.read.parquet(f"{merged}/index_shards")
+    assert sh.filter(F.col("avgdl_encode").isNull()).count() == 0
+    # the backfilled value equals segment a's own stats avgdl
+    sa = spark.read.parquet(f"{a}/stats").collect()[0]
+    avgdl_a = sa["sum_doclen"] / sa["n_docs"]
+    got = {round(r["avgdl_encode"], 6) for r in
+           sh.filter(F.col("shard") < 1 << 32).select("avgdl_encode")
+           .distinct().collect()}
+    assert got == {round(avgdl_a, 6)}
+    # and BMM over the merged index stays rank-identical to exact
+    exact = _by_docno(search(spark, merged, QUERIES, k=10))
+    bmm = _by_docno(search_bmm(spark, merged, QUERIES, k=10))
+    bmm2 = _by_docno(search_bmm(spark, merged, QUERIES, k=10, n_ranges=3))
+    assert bmm == exact
+    assert bmm2 == exact

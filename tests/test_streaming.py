@@ -159,3 +159,41 @@ def test_refresh_index_incremental_folding(spark, tmp_path):
                   salt_target=64, block_size=16)
     assert _by_docno(search(spark, idx3, QUERIES, k=10)) == \
         _by_docno(search(spark, idx2, QUERIES, k=10))
+
+
+def test_refresh_after_finalize_and_manifest_contract(spark, tmp_path):
+    """finalize_index now records its folded batch ids, so refresh_index can
+    take a finalize-produced index as prev_root (previously a
+    FileNotFoundError, ADVICE round 2); the delta temp segment is cleaned
+    up after the merge."""
+    import glob
+    import json
+
+    from searchenginepp_spark.streaming.incremental import refresh_index
+
+    corpus = synthesize_corpus(spark, 140).cache()
+    wave1 = corpus.filter(F.crc32("path") % 3 != 0)
+    wave2 = corpus.subtract(wave1)
+    in_dir = str(tmp_path / "arrivals")
+    staging = str(tmp_path / "staging")
+
+    wave1.write.mode("append").parquet(in_dir)
+    start_ingest(spark, in_dir, staging, available_now=True)
+    idx1 = finalize_index(spark, staging, str(tmp_path / "idx1"),
+                          salt_target=64, block_size=16)
+    with open(f"{idx1.root}/manifest/folded_batches.json") as f:
+        assert json.load(f)["batches"] == [0]
+
+    wave2.write.mode("append").parquet(in_dir)
+    start_ingest(spark, in_dir, staging, available_now=True)
+    before = set(glob.glob("/tmp/sepp_delta_*"))
+    idx2 = refresh_index(spark, staging, str(tmp_path / "idx2"),
+                         prev_root=idx1.root, salt_target=64, block_size=16)
+    assert set(glob.glob("/tmp/sepp_delta_*")) == before  # temp dir removed
+    assert spark.read.parquet(f"{idx2.root}/docmap").count() == 140
+
+    batch_root = str(tmp_path / "batch")
+    build_index(spark, corpus, batch_root, salt_target=64, block_size=16)
+    got = _by_docno(search(spark, idx2.root, QUERIES, k=1000))
+    want = _by_docno(search(spark, batch_root, QUERIES, k=1000))
+    assert got == want
