@@ -148,6 +148,18 @@ def q_bm25_bmm_index(spark, sf_dir):
     return _docid_from_docno(res)
 
 
+def q_bm25_bmm_ranges7(spark, sf_dir):
+    """Same pruned path at a second, non-divisor fan-out (n_ranges=7): the
+    range boundaries fall at different blocks than n_ranges=4, so boundary-
+    block replication + [lo,hi) masking stay hash-gated as the slicing code
+    evolves (VERDICT round 2 #8)."""
+    from searchenginepp_spark.operators.bmm import search_bmm
+
+    res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET, k=TOP_K,
+                     scorer="bm25", stem=False, n_ranges=7)
+    return _docid_from_docno(res)
+
+
 # ------------------------------------------- training-data pipeline ops
 
 SIM_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -345,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stemmed": q_bm25_stemmed,
         "bm25_topk_compressed_index": q_bm25_compressed_index,
         "bm25_topk_bmm_index": q_bm25_bmm_index,
+        "bm25_topk_bmm_ranges7": q_bm25_bmm_ranges7,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -414,4 +427,5 @@ def oracle_sql() -> dict[str, str]:
                                            stemmed=True),
         "bm25_topk_compressed_index": topk_bm25,
         "bm25_topk_bmm_index": topk_bm25,
+        "bm25_topk_bmm_ranges7": topk_bm25,
     }

@@ -1,22 +1,33 @@
-"""Ranking-quality evaluation — mAP / nDCG@k / MRR over a qrels table.
+"""Ranking-quality evaluation — trec_eval-style metrics over a qrels table.
 
 The reference evaluates its run files with trec_eval against MS MARCO
 qrels and publishes mAP 0.1982 / RR 0.8110 (reference report.pdf §3.1,
 run via /root/reference/README.md's trec_eval invocation).  Neither
 trec_eval nor MS MARCO ships in this environment, so the harness computes
-the same metrics natively — as DataFrame window/agg expressions, so a
+the same metric family natively — as DataFrame window/agg expressions, so a
 billion-query evaluation would distribute like any other plan — and the
 tests pin them on a synthetic qrels fixture to catch scorer drift
 (tests/test_evaluation.py: BM25 must beat TFIDF, and both must match
 golden values to 6 decimals across rounds).
 
+Metric semantics (IMPORTANT): every metric here is computed over the run
+TRUNCATED at rank k — i.e. mAP@k / nDCG@k / nDCG@20-of-a-depth-k-run /
+RR@k / set metrics of the top-k retrieved SET.  trec_eval's headline mAP
+is computed over full runs (typically depth 1000); a k=10 mAP@k is NOT
+numerically comparable to the reference's published full-run mAP 0.1982 —
+pass a deeper run + larger k to approximate it (ADVICE round 2).
+
 Inputs:
   results  (qid, docid, rank)            — a top-k run (rank 1-based)
   qrels    (qid, docid, gain)            — graded relevance, gain > 0
-Metrics per query, then macro-averaged:
-  AP       Σ_{hits} precision@rank / n_relevant   (binary: gain > 0)
-  nDCG@k   Σ gain/log2(rank+1) over top-k, normalized by the ideal DCG
-  RR       1 / rank of the first relevant hit
+Metrics per query, then macro-averaged (reference report table 3.1 set):
+  ap       Σ_{hits} precision@rank / n_relevant   (binary: gain > 0)
+  ndcg     Σ gain/log2(rank+1) over top-k, normalized by ideal DCG@k
+  ndcg_20  same at cut 20 (DCG from the depth-k run, ideal DCG@20)
+  rr       1 / rank of the first relevant hit
+  set_p    |retrieved ∩ relevant| / |retrieved|       (set precision)
+  set_r    |retrieved ∩ relevant| / n_relevant        (set recall)
+  set_f    harmonic mean of set_p and set_r           (set F1)
 """
 
 from __future__ import annotations
@@ -26,9 +37,11 @@ from pyspark.sql import functions as F
 
 
 def evaluate_topk(results: DataFrame, qrels: DataFrame,
-                  k: int = 10) -> DataFrame:
-    """Per-query (qid, ap, ndcg, rr, n_relevant) — one join + windows, no
-    driver-side loops (qrels may be arbitrarily large)."""
+                  k: int = 10, ndcg_cut2: int = 20) -> DataFrame:
+    """Per-query (qid, ap, ndcg, ndcg_20, rr, set_p, set_r, set_f,
+    n_relevant) — one join + windows, no driver-side loops (qrels may be
+    arbitrarily large).  All metrics are @k (truncated-run semantics — see
+    module docstring)."""
     run = results.select("qid", "docid", "rank").filter(F.col("rank") <= k)
     judged = run.join(qrels.select("qid", "docid", "gain"),
                       ["qid", "docid"], "left").withColumn(
@@ -43,11 +56,16 @@ def evaluate_topk(results: DataFrame, qrels: DataFrame,
     per_q = judged.groupBy("qid").agg(
         F.sum(F.col("hit") * F.col("prec_at")).alias("sum_prec"),
         F.sum(F.col("gain") / F.log2(F.col("rank") + 1)).alias("dcg"),
+        F.sum(F.when(F.col("rank") <= ndcg_cut2,
+                     F.col("gain") / F.log2(F.col("rank") + 1))
+              .otherwise(0.0)).alias("dcg2"),
         F.max(F.when(F.col("hit") > 0, 1.0 / F.col("rank"))).alias("rr"),
+        F.count("*").alias("n_retrieved"),
+        F.sum("hit").alias("n_rel_ret"),
     )
 
     # ideal DCG + relevant count from qrels alone (covers relevant docs the
-    # run missed entirely — they still lower AP/nDCG)
+    # run missed entirely — they still lower AP/nDCG/recall)
     wq = Window.partitionBy("qid").orderBy(F.desc("gain"), F.asc("docid"))
     ideal = (
         qrels.filter(F.col("gain") > 0)
@@ -57,8 +75,14 @@ def evaluate_topk(results: DataFrame, qrels: DataFrame,
             F.sum(F.when(F.col("irank") <= k,
                          F.col("gain") / F.log2(F.col("irank") + 1))
                   .otherwise(0.0)).alias("idcg"),
+            F.sum(F.when(F.col("irank") <= ndcg_cut2,
+                         F.col("gain") / F.log2(F.col("irank") + 1))
+                  .otherwise(0.0)).alias("idcg2"),
         )
     )
+    sp = (F.coalesce(F.col("n_rel_ret"), F.lit(0.0))
+          / F.greatest(F.coalesce(F.col("n_retrieved"), F.lit(0)), F.lit(1)))
+    sr = F.coalesce(F.col("n_rel_ret"), F.lit(0.0)) / F.col("n_relevant")
     return (
         ideal.join(per_q, "qid", "left")
         .select(
@@ -67,20 +91,33 @@ def evaluate_topk(results: DataFrame, qrels: DataFrame,
                     / F.col("n_relevant"), 6).alias("ap"),
             F.round(F.coalesce(F.col("dcg"), F.lit(0.0))
                     / F.col("idcg"), 6).alias("ndcg"),
+            F.round(F.coalesce(F.col("dcg2"), F.lit(0.0))
+                    / F.col("idcg2"), 6).alias("ndcg_20"),
             F.round(F.coalesce(F.col("rr"), F.lit(0.0)), 6).alias("rr"),
+            F.round(sp, 6).alias("set_p"),
+            F.round(sr, 6).alias("set_r"),
+            F.round(F.when(sp + sr > 0, 2 * sp * sr / (sp + sr))
+                    .otherwise(0.0), 6).alias("set_f"),
             "n_relevant",
         )
     )
 
 
 def mean_metrics(results: DataFrame, qrels: DataFrame, k: int = 10) -> dict:
-    """Macro-averaged {'map', 'ndcg', 'mrr', 'n_queries'} (the reference
-    report's summary row, computed over every qid present in qrels)."""
+    """Macro-averaged {'map', 'ndcg', 'ndcg_20', 'mrr', 'set_p', 'set_r',
+    'set_f', 'n_queries'} (the reference report's summary row, computed over
+    every qid present in qrels).  Truncated-run @k semantics — see module
+    docstring before comparing against published full-run numbers."""
     row = evaluate_topk(results, qrels, k=k).agg(
         F.round(F.avg("ap"), 6).alias("map"),
         F.round(F.avg("ndcg"), 6).alias("ndcg"),
+        F.round(F.avg("ndcg_20"), 6).alias("ndcg_20"),
         F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("set_p"), 6).alias("set_p"),
+        F.round(F.avg("set_r"), 6).alias("set_r"),
+        F.round(F.avg("set_f"), 6).alias("set_f"),
         F.count("*").alias("n_queries"),
     ).collect()[0]
-    return {"map": row["map"], "ndcg": row["ndcg"], "mrr": row["mrr"],
-            "n_queries": int(row["n_queries"])}
+    return {m: row[m] for m in ("map", "ndcg", "ndcg_20", "mrr",
+                                "set_p", "set_r", "set_f")} | {
+        "n_queries": int(row["n_queries"])}

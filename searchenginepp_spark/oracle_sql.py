@@ -209,10 +209,12 @@ SELECT qid, docid, rank::BIGINT AS rank, score FROM ranked WHERE rank <= {k}
 """
 
 
-def sql_eval_metrics(k: int = TOP_K, qrels_mod: int = 7) -> str:
-    """Per-qid AP / nDCG@k / RR of the BM25 run against the deterministic
-    synthetic qrels (relevant iff doc_id % mod == qid % mod) — mirrors
-    operators/evaluation.evaluate_topk expression-for-expression."""
+def sql_eval_metrics(k: int = TOP_K, qrels_mod: int = 7,
+                     ndcg_cut2: int = 20) -> str:
+    """Per-qid AP / nDCG@k / nDCG@20 / RR / set-P/R/F of the BM25 run
+    against the deterministic synthetic qrels (relevant iff doc_id % mod ==
+    qid % mod) — mirrors operators/evaluation.evaluate_topk
+    expression-for-expression (truncated-run @k semantics)."""
     return f"""
 WITH run AS ({sql_topk("bm25", conjunctive=False, k=k)}),
   qids AS (
@@ -238,7 +240,11 @@ WITH run AS ({sql_topk("bm25", conjunctive=False, k=k)}),
   per_q AS (
     SELECT qid, SUM(hit * prec_at) AS sum_prec,
            SUM(gain / log2(rank + 1)) AS dcg,
-           MAX(CASE WHEN hit > 0 THEN 1.0 / rank END) AS rr
+           SUM(CASE WHEN rank <= {ndcg_cut2}
+                    THEN gain / log2(rank + 1) ELSE 0 END) AS dcg2,
+           MAX(CASE WHEN hit > 0 THEN 1.0 / rank END) AS rr,
+           COUNT(*) AS n_retrieved,
+           SUM(hit) AS n_rel_ret
     FROM cum GROUP BY qid
   ),
   ranked_rel AS (
@@ -250,12 +256,28 @@ WITH run AS ({sql_topk("bm25", conjunctive=False, k=k)}),
   ideal AS (
     SELECT qid, COUNT(*)::BIGINT AS n_relevant,
            SUM(CASE WHEN irank <= {k}
-                    THEN gain / log2(irank + 1) ELSE 0 END) AS idcg
+                    THEN gain / log2(irank + 1) ELSE 0 END) AS idcg,
+           SUM(CASE WHEN irank <= {ndcg_cut2}
+                    THEN gain / log2(irank + 1) ELSE 0 END) AS idcg2
     FROM ranked_rel GROUP BY qid
+  ),
+  sets AS (
+    SELECT i.qid,
+           COALESCE(p.n_rel_ret, 0.0)
+             / greatest(COALESCE(p.n_retrieved, 0), 1) AS sp,
+           COALESCE(p.n_rel_ret, 0.0) / i.n_relevant AS sr
+    FROM ideal i LEFT JOIN per_q p ON p.qid = i.qid
   )
 SELECT i.qid,
        ROUND(COALESCE(p.sum_prec, 0) / i.n_relevant, 6) AS ap,
        ROUND(COALESCE(p.dcg, 0) / i.idcg, 6) AS ndcg,
+       ROUND(COALESCE(p.dcg2, 0) / i.idcg2, 6) AS ndcg_20,
        ROUND(COALESCE(p.rr, 0), 6) AS rr,
+       ROUND(s.sp, 6) AS set_p,
+       ROUND(s.sr, 6) AS set_r,
+       ROUND(CASE WHEN s.sp + s.sr > 0
+                  THEN 2 * s.sp * s.sr / (s.sp + s.sr) ELSE 0.0 END, 6)
+         AS set_f,
        i.n_relevant
-FROM ideal i LEFT JOIN per_q p ON p.qid = i.qid"""
+FROM ideal i LEFT JOIN per_q p ON p.qid = i.qid
+JOIN sets s ON s.qid = i.qid"""

@@ -19,6 +19,11 @@ def test_metric_known_answers(spark):
     assert row["rr"] == 1.0
     assert row["ndcg"] == pytest.approx(1.5 / (1.0 + 0.63093), abs=1e-4)
     assert row["n_relevant"] == 2
+    # every rank/irank ≤ 20, so the cut-20 variant equals ndcg here
+    assert row["ndcg_20"] == row["ndcg"]
+    assert row["set_p"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["set_r"] == 1.0
+    assert row["set_f"] == pytest.approx(0.8, abs=1e-6)  # 2PR/(P+R)
 
 
 def test_unretrieved_relevant_lowers_ap(spark):
@@ -73,8 +78,11 @@ def _relevance_corpus(spark):
 
 GOLDEN = {
     # pinned macro metrics — recompute ONLY on a deliberate scorer change
-    "bm25": {"map": 0.8, "ndcg": 0.868795, "mrr": 1.0},
-    "tfidf": {"map": 0.733333, "ndcg": 0.843538, "mrr": 1.0},
+    "bm25": {"map": 0.8, "ndcg": 0.868795, "ndcg_20": 0.868795, "mrr": 1.0,
+             "set_p": 0.666667, "set_r": 0.8, "set_f": 0.727273},
+    "tfidf": {"map": 0.733333, "ndcg": 0.843538, "ndcg_20": 0.843538,
+              "mrr": 1.0, "set_p": 0.666667, "set_r": 0.8,
+              "set_f": 0.727273},
 }
 
 
@@ -84,7 +92,7 @@ def test_scorer_quality_golden(spark, scorer):
     run = search_corpus(spark, docs, queries, k=10, scorer=scorer, stem=False)
     got = mean_metrics(run, qrels, k=10)
     want = GOLDEN[scorer]
-    for m in ("map", "ndcg", "mrr"):
+    for m in ("map", "ndcg", "ndcg_20", "mrr", "set_p", "set_r", "set_f"):
         assert got[m] == pytest.approx(want[m], abs=1e-6), (m, got)
     assert got["n_queries"] == 3
 
