@@ -166,7 +166,9 @@ SIM_QUERY_IDS = [0, 1, 2, 3, 4]
 SIM_K = 5
 EMB_DIMS = 64
 NEAR_DUP_COS = 0.45
-NEAR_DUP_PLANES = 3      # loose buckets at this tiny SF so candidates survive
+NEAR_DUP_BANDS = 2       # banded multi-table LSH (b tables × r planes);
+NEAR_DUP_ROWS = 2        # loose 2-bit buckets at this tiny SF so candidates
+                         # survive — at scale n_rows grows with log2(N)
 JACCARD_T = 0.5
 JACCARD_MAX_SHINGLE_DF = 256   # fan-out cap, applied on BOTH engines
 SIMHASH_MAX_HAMMING = 3
@@ -225,7 +227,8 @@ def q_sim_embedding_near_dup(spark, sf_dir):
 
     return embedding_near_dup_pairs(_embeddings(spark, sf_dir), EMB_DIMS,
                                     threshold=NEAR_DUP_COS,
-                                    n_planes=NEAR_DUP_PLANES)
+                                    n_bands=NEAR_DUP_BANDS,
+                                    n_rows=NEAR_DUP_ROWS)
 
 
 def q_text_token_counts(spark, sf_dir):
@@ -395,7 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_ann_topk": opipe.sql_lsh_ann_topk(SIM_QUERY_IDS, EMB_DIMS,
                                                    k=SIM_K),
         "sim_embedding_near_dup": opipe.sql_embedding_near_dup(
-            EMB_DIMS, threshold=NEAR_DUP_COS, n_planes=NEAR_DUP_PLANES),
+            EMB_DIMS, threshold=NEAR_DUP_COS, n_bands=NEAR_DUP_BANDS,
+            n_rows=NEAR_DUP_ROWS),
         "text_token_counts": opipe.sql_token_counts(),
         "text_quality_scores": opipe.sql_quality_scores(),
         "text_language_id": opipe.sql_language_id(),

@@ -99,6 +99,12 @@ FROM buckets a JOIN buckets b
 
 
 def sql_simhash_pairs(max_hamming: int = 8, bits: int = SIMHASH_BITS) -> str:
+    """Oracle keeps the simple 4-block (c=1) candidate scheme: both it and
+    the Spark side's combinatorial C(n_blocks, n_blocks-h) tables are
+    RECALL-COMPLETE for hamming ≤ max_hamming (pigeonhole), and the final
+    SELECT filters candidates to exact distance ≤ max_hamming — so the two
+    engines' result SETS are identical regardless of blocking (requires
+    max_hamming ≤ 3 here for the 4-block pigeonhole to hold)."""
     block_sz = bits // 4
     mask = (1 << block_sz) - 1
     return f"""
@@ -392,15 +398,46 @@ SELECT b.docid, b.n_grams,
 FROM base b LEFT JOIN sel s ON s.docid = b.docid"""
 
 
-def sql_embedding_near_dup(dims: int, threshold: float = 0.45,
-                           n_planes: int = 8) -> str:
+def cte_lsh_band_buckets(dims: int, n_bands: int, n_rows: int) -> str:
+    """Banded multi-table variant — band t's bucket uses planes
+    [t·n_rows, (t+1)·n_rows), mirroring similarity.lsh_band_buckets."""
+    signs = plane_signs(n_bands * n_rows, dims)
+    selects = []
+    for t in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, "
+            f"{_plane_array_sql(signs[t * n_rows + s])}) > 0 "
+            f"THEN {1 << s} ELSE 0 END)"
+            for s in range(n_rows)
+        )
+        selects.append(f"SELECT vec_id, e, norm, {t}::BIGINT AS band, "
+                       f"({bits})::BIGINT AS bucket FROM base")
+    union = " UNION ALL ".join(selects)
     return f"""
-WITH {cte_lsh_buckets(dims, n_planes)}
-SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-       ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) AS cosine
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), 6) >= {threshold}"""
+  base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+  ),
+  banded AS ({union})"""
+
+
+def sql_embedding_near_dup(dims: int, threshold: float = 0.45,
+                           n_bands: int = 4, n_rows: int = 8) -> str:
+    return f"""
+WITH {cte_lsh_band_buckets(dims, n_bands, n_rows)},
+  cand AS (
+    SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ),
+  scored AS (
+    SELECT c.vec_id_a, c.vec_id_b,
+           ROUND(list_dot_product(x.e, y.e) / (x.norm * y.norm), 6) AS cosine
+    FROM cand c JOIN base x ON x.vec_id = c.vec_id_a
+                JOIN base y ON y.vec_id = c.vec_id_b
+  )
+SELECT vec_id_a, vec_id_b, cosine FROM scored WHERE cosine >= {threshold}"""
 
 
 # -------------------------------------------------- relational (TPC-H-ish)

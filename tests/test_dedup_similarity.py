@@ -133,10 +133,10 @@ def test_lsh_ann_subset_of_exact_scores(spark, embeddings):
 
 def test_embedding_near_dup_scores_exact(spark, embeddings):
     got = embedding_near_dup_pairs(embeddings, 64, threshold=0.45,
-                                   n_planes=3).collect()
+                                   n_bands=2, n_rows=2).collect()
     ids, mat = _np_embeddings(embeddings)
     norms = np.linalg.norm(mat, axis=1)
-    assert got, "near-dup query returned nothing at threshold 0.45 / 3 planes"
+    assert got, "near-dup query returned nothing at threshold 0.45 / 2x2 LSH"
     for r in got:
         ai = np.flatnonzero(ids == r["vec_id_a"])[0]
         bi = np.flatnonzero(ids == r["vec_id_b"])[0]
