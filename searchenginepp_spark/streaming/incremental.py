@@ -152,7 +152,8 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
                   prev_root: str | None = None,
                   salt_target: int = SALT_TARGET_POSTINGS,
                   block_size: int = SKIP_BLOCK_SIZE,
-                  term_partitions: int | None = None) -> IndexPaths:
+                  term_partitions: int | None = None,
+                  auto_compact_segments: int | None = 8) -> IndexPaths:
     """Incremental finalize: fold staged batches NOT yet in `prev_root`
     into a new index at `out`, touching only the NEW data.
 
@@ -167,7 +168,16 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
     recorded in {out}/manifest/folded_batches.json; pass the previous
     root back as `prev_root` on the next call.  First call
     (prev_root=None) folds everything committed (≡ finalize_index).
-    """
+
+    Auto-compaction (VERDICT round 2 #6): every fold appends one segment,
+    so a term's postings fragment into up to n_segments sub-list rows —
+    read amplification that grows without bound under continuous
+    ingestion.  When the accumulated segment count (tracked in the
+    manifest) would exceed `auto_compact_segments`, the merged result is
+    COMPACTED instead (decode → one salted shuffle → fresh encode via
+    compact_index), collapsing every term back to ceil(df/salt_target)
+    rows and resetting the counter — the classic LSM leveling step.
+    None disables the policy."""
     import json
     import os
 
@@ -181,6 +191,7 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
     post_dirs = {int(p.rstrip("/").rsplit("batch=", 1)[1]): p
                  for p in _committed_batch_dirs(spark, staging.postings)}
     folded: list[int] = []
+    prev_segments = 1
     if prev_root is not None:
         ff = os.path.join(IndexPaths(prev_root).manifest,
                           "folded_batches.json")
@@ -190,13 +201,17 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
         # refresh_index both write the manifest for their own outputs).
         if os.path.exists(ff):
             with open(ff) as f:
-                folded = json.load(f)["batches"]
+                m = json.load(f)
+            folded = m["batches"]
+            prev_segments = int(m.get("n_segments", 1))
     new_ids = sorted(set(committed) - set(folded))
 
+    n_segments = prev_segments
     if prev_root is None:
         finalize_index(spark, staging_root, out, salt_target=salt_target,
                        block_size=block_size,
                        term_partitions=term_partitions)
+        n_segments = 1
     elif not new_ids:
         # nothing new: the fresh root is a metadata copy of the previous
         for attr in ("docmap", "shards", "stats", "lexicon"):
@@ -207,6 +222,9 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
         import shutil
         import tempfile
 
+        n_segments = prev_segments + 1
+        compact = (auto_compact_segments is not None
+                   and n_segments > auto_compact_segments)
         delta = IndexPaths(tempfile.mkdtemp(prefix="sepp_delta_"))
         try:
             dm = spark.read.parquet(
@@ -230,11 +248,30 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
             (spark.read.parquet(delta.shards)
              .groupBy("term").agg(F.sum("df_shard").alias("df"))
              .write.mode("overwrite").parquet(delta.lexicon))
-            merge_indexes(spark, [prev_root, delta.root], paths, rebase=False)
+            if not compact:
+                merge_indexes(spark, [prev_root, delta.root], paths,
+                              rebase=False)
+            else:
+                from searchenginepp_spark.operators.index_merge import (
+                    compact_index,
+                )
+
+                staged = IndexPaths(tempfile.mkdtemp(prefix="sepp_premerge_"))
+                try:
+                    merge_indexes(spark, [prev_root, delta.root], staged,
+                                  rebase=False)
+                    compact_index(spark, staged, paths,
+                                  salt_target=salt_target,
+                                  num_partitions=term_partitions,
+                                  block_size=block_size)
+                finally:
+                    shutil.rmtree(staged.root, ignore_errors=True)
+                n_segments = 1
         finally:
             shutil.rmtree(delta.root, ignore_errors=True)
 
-    _write_folded_manifest(paths, sorted(set(folded) | set(new_ids)))
+    _write_folded_manifest(paths, sorted(set(folded) | set(new_ids)),
+                           n_segments=n_segments)
     return paths
 
 
@@ -270,12 +307,15 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
     return paths
 
 
-def _write_folded_manifest(paths: IndexPaths, batch_ids: list[int]) -> None:
-    """Record which staged batch ids this index contains — refresh_index
-    reads it back to fold only the delta on the next call."""
+def _write_folded_manifest(paths: IndexPaths, batch_ids: list[int],
+                           n_segments: int = 1) -> None:
+    """Record which staged batch ids this index contains and how many
+    segments it has accumulated since the last compaction — refresh_index
+    reads both back to fold only the delta and trigger auto-compaction."""
     import json
     import os
 
     os.makedirs(paths.manifest, exist_ok=True)
     with open(os.path.join(paths.manifest, "folded_batches.json"), "w") as f:
-        json.dump({"batches": sorted(batch_ids)}, f)
+        json.dump({"batches": sorted(batch_ids),
+                   "n_segments": int(n_segments)}, f)
