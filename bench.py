@@ -4,7 +4,8 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-phase / per-query sec...}, "sf": ...,
-   "docs_per_sec": ..., "scaling": {...}, "cpu": {...}}
+   "docs_per_sec": ..., "scaling": {...}, "scaling_executor": {...},
+   "cpu": {...}}
 
 Environment:
   SPARK_GRAFT_SF_DIR       testdata dir (default /root/testdata/sf0.1)
@@ -14,41 +15,38 @@ Environment:
                            >8 Spark threads + >8 Python workers thrash)
   SPARK_GRAFT_BENCH_DOCS   synthetic corpus size for the headline build
                            (default 100000)
+  SPARK_GRAFT_BENCH_RUNS   min-of-N alternating-free headline repetitions,
+                           each a fresh pinned subprocess/JVM (default 3 —
+                           the round-2 single-shot headline recorded a
+                           phantom 1.8x "regression" that was host weather)
   SPARK_GRAFT_SCALING      "0" to skip the N vs 4N scaling runs (default on)
+  SPARK_GRAFT_SCALING_MODE "both" (default) | "jvm" | "executor" — which
+                           scaling evidence to produce (see below)
   SPARK_GRAFT_SCALING_DOCS corpus size for the scaling pair (default
-                           500,000 — see BASELINE.md round-2 analysis:
-                           larger corpora do NOT improve measured wall
-                           efficiency on this host because the limiter is
-                           single-box co-residency overhead, not fixed
-                           floor; 500k keeps the min-of-3 protocol cheap)
+                           500,000 — see BASELINE.md round-2 analysis)
   SPARK_GRAFT_SCALING_RUNS min-of-N alternating runs per config (default 3
                            — CLAUDE.md protocol: 2-4x host noise)
 
-Scaling evidence (BASELINE.md / north rule): the same build at local[N] and
-local[4N] on identical input; efficiency = T_N / (4 * T_4N).  Methodology:
+Scaling evidence (BASELINE.md / north rule), two modes:
 
-  * Each scaling run executes in its OWN SUBPROCESS pinned with
-    `taskset -c` to exactly N (resp. 4N) CPUs.  local[N] alone limits only
-    Spark task slots — JVM shuffle/GC/IO threads and Python workers of the
-    "small cluster" would otherwise overflow onto idle host cores and
-    inflate the small config.  Pinning makes each run a faithful
-    N-core-cluster simulation, and gives every run a fresh JVM (driver
-    memory and GC state cannot leak between configs).
-  * Runs alternate lo/hi (min-of-N per config) so slow-host windows hit
-    both configs equally.
-  * Per-phase wall times (docids/docmap/sample/encode/lexicon) AND total
-    host CPU-seconds consumed (/proc/stat around each run) are recorded
-    for both configs.  cpu_s attribution separates ALGORITHMIC
-    serialization (would show as idle cores at 4N) from single-JVM
-    co-residency overhead (shows as MORE cpu_s burned at 4N for the same
-    work — GC/allocator/worker-density effects a real 4N-EXECUTOR cluster
-    does not have, because each executor keeps constant thread density).
-    work_scaling_efficiency = cpu_s_n / cpu_s_4n is the
-    executor-scale-out-relevant number; wall efficiency is the single-box
-    number.
-  * The `cpu` section reports the host's measured multiprocessing speedup
-    curve (min-of-3): nproc lies on this box; the curve is the ceiling any
-    wall-clock scaling number can reach.
+  * single-JVM mode ("jvm", the round-1/2 protocol): the same build at
+    local[N] and local[4N], each run in its OWN SUBPROCESS pinned with
+    `taskset -c` to exactly N (resp. 4N) CPUs; alternating lo/hi,
+    min-of-N; /proc/stat CPU-seconds bracketing each run.  This measures
+    the single-box wall-clock curve — which round 2 showed is limited by
+    single-JVM co-residency (the 4N config burns 1.4-1.75x more
+    CPU-seconds for identical work), NOT by algorithmic serialization.
+  * executor mode ("executor", new in round 3 — VERDICT round 2 #2): the
+    same build on `local-cluster[N,1,mem]` vs `local-cluster[4N,1,mem]` —
+    real separate executor JVMs, ONE core + one Python worker each, so
+    per-executor thread density stays CONSTANT from N to 4N — the thing a
+    real multi-executor cluster has and a single fat JVM does not.  The
+    subprocess is pinned to N+1 / 4N+1 CPUs (one extra for the
+    driver+master processes, same allowance in both configs).  Efficiency
+    here is the number comparable to the north rule's N→4N executor
+    scaling criterion.
+
+  efficiency = T_N / (4 * T_4N) in both modes.
 """
 
 from __future__ import annotations
@@ -67,7 +65,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+SCALING_MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "both")
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "500000"))
 SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
 SCALING_N = 2
@@ -80,13 +80,39 @@ BENCH_QUERIES = [
     (5, "fn_100 static const"),
 ]
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
-def make_spark(cores: int):
+
+def make_spark(cores: int, executor_style: bool = False):
     from pyspark.sql import SparkSession
 
+    if executor_style:
+        # local-cluster: real executor JVMs, 1 core + 1 Python worker each —
+        # constant per-executor density across cluster sizes.  Needs
+        # SPARK_HOME pointed at the pyspark dist and the repo on the
+        # executors' PYTHONPATH (they spawn their own Python workers).
+        import pyspark
+
+        os.environ.setdefault("SPARK_HOME",
+                              os.path.dirname(pyspark.__file__))
+        builder = (
+            SparkSession.builder.master(f"local-cluster[{cores},1,4096]")
+            .appName(f"sepp-bench-exec-{cores}")
+            .config("spark.executor.memory", "4g")
+            .config("spark.executorEnv.PYTHONPATH", _REPO)
+            .config("spark.driver.memory", "8g")
+        )
+    else:
+        builder = (
+            SparkSession.builder.master(f"local[{cores}]")
+            .appName(f"sepp-bench-{cores}")
+            # generous heap: with N concurrent parquet writers in ONE local
+            # JVM the parquet MemoryManager shrinks row groups when the pool
+            # is tight, which poisons every downstream scan (measured 4-6x)
+            .config("spark.driver.memory", "48g")
+        )
     return (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(f"sepp-bench-{cores}")
+        builder
         # 3-4 tasks per core: stragglers amortize, cache partitions stay
         # balanced (1 task/core measured ~10% slower at 8 cores)
         .config("spark.sql.shuffle.partitions", str(max(cores * 4, 8)))
@@ -94,10 +120,6 @@ def make_spark(cores: int):
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-        # generous heap: with N concurrent parquet writers in ONE local JVM
-        # the parquet MemoryManager shrinks row groups when the pool is
-        # tight, which poisons every downstream scan (measured 4-6x)
-        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
 
@@ -131,11 +153,11 @@ def cpu_probe() -> dict:
 
 
 def run_build(cores: int, n_docs: int, workdir: str,
-              run_queries: bool = True) -> dict:
+              run_queries: bool = True, executor_style: bool = False) -> dict:
     from searchenginepp_spark.operators.index_build import build_index
     from searchenginepp_spark.sources.corpus import synthesize_corpus_distributed
 
-    spark = make_spark(cores)
+    spark = make_spark(cores, executor_style=executor_style)
     try:
         spark.sparkContext.setLogLevel("ERROR")
         corpus = synthesize_corpus_distributed(spark, n_docs,
@@ -220,33 +242,65 @@ def _cpu_stat() -> tuple[float, float]:
         return 0.0, 0.0
 
 
-def _scaling_subprocess(cores: int, n_docs: int, workdir: str) -> dict:
-    """One pinned scaling run in a fresh interpreter+JVM.  The subprocess
+def _subprocess_run(cores: int, n_docs: int, workdir: str, mode: str,
+                    pin_cpus: int) -> dict:
+    """One pinned bench run in a fresh interpreter+JVM.  The subprocess
     reports system-wide CPU-seconds bracketing ONLY the build (valid
     because the bench owns the machine while it runs)."""
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--scaling-run", str(cores), str(n_docs), workdir]
+           "--one-run", mode, str(cores), str(n_docs), workdir]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     last = [ln for ln in out.stdout.strip().split("\n") if ln.startswith("{")]
     if out.returncode != 0 or not last:
-        raise RuntimeError(f"scaling run failed: rc={out.returncode} "
+        raise RuntimeError(f"bench run failed: rc={out.returncode} "
                            f"stderr tail: {out.stderr[-500:]}")
     return json.loads(last[-1])
 
 
-def run_scaling() -> dict | None:
+def run_headline() -> dict:
+    """Min-of-N headline (VERDICT round 2 #1): each repetition is a fresh
+    pinned subprocess/JVM at local[CPUS]; the reported figures come from
+    the repetition with the smallest build+query total, with every
+    repetition's total recorded in all_runs."""
+    runs = []
+    errors: list[str] = []
+    tmp = tempfile.mkdtemp(prefix="sepp_bench_head_")
+    try:
+        for i in range(BENCH_RUNS):
+            try:
+                runs.append(_subprocess_run(CPUS, N_DOCS, f"{tmp}/r{i}",
+                                            "headline", CPUS))
+            except Exception as exc:
+                errors.append(str(exc)[:300])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not runs:
+        raise RuntimeError(f"all headline runs failed: {errors}")
+    best = min(runs, key=lambda r: r["build_s"] + r.get("query_s", 0.0))
+    best["all_runs"] = [round(r["build_s"] + r.get("query_s", 0.0), 2)
+                       for r in runs]
+    best["all_build_s"] = [round(r["build_s"], 2) for r in runs]
+    if errors:
+        best["run_errors"] = errors
+    return best
+
+
+def run_scaling(executor_style: bool) -> dict | None:
     lo_runs, hi_runs = [], []
     errors = []
-    tmp = tempfile.mkdtemp(prefix="sepp_scaling_")
+    mode = "executor" if executor_style else "jvm"
+    tmp = tempfile.mkdtemp(prefix=f"sepp_scaling_{mode}_")
     try:
         for _ in range(SCALING_RUNS):            # alternate lo/hi
             for cores, acc, sub in ((SCALING_N, lo_runs, "lo"),
                                     (SCALING_N * 4, hi_runs, "hi")):
+                # executor mode: +1 CPU for driver+master, same in both
+                pin = cores + 1 if executor_style else cores
                 try:
-                    acc.append(_scaling_subprocess(
-                        cores, SCALING_DOCS, f"{tmp}/{sub}"))
+                    acc.append(_subprocess_run(
+                        cores, SCALING_DOCS, f"{tmp}/{sub}", mode, pin))
                 except Exception as exc:         # record partial evidence
                     errors.append(f"{cores}c: {exc}"[:300])
     finally:
@@ -259,6 +313,7 @@ def run_scaling() -> dict | None:
     cpu_lo = min(r["cpu_s"] for r in lo_runs)
     cpu_hi = min(r["cpu_s"] for r in hi_runs)
     return {
+        "mode": mode,
         "cores_n": SCALING_N, "cores_4n": SCALING_N * 4,
         "n_docs": SCALING_DOCS, "n_runs": SCALING_RUNS,
         "pinned": bool(shutil.which("taskset")),
@@ -269,9 +324,8 @@ def run_scaling() -> dict | None:
         "docs_per_sec_n": round(lo["docs_per_sec"], 1),
         "docs_per_sec_4n": round(hi["docs_per_sec"], 1),
         "efficiency": round(lo["build_s"] / (4 * hi["build_s"]), 3),
-        # same logical work both configs: cpu_s ratio isolates single-JVM
-        # co-residency overhead from algorithmic serialization — the
-        # executor-scale-out-relevant number (see module docstring)
+        # same logical work both configs: cpu_s ratio isolates co-residency
+        # overhead from algorithmic serialization (see module docstring)
         "cpu_s_n": cpu_lo, "cpu_s_4n": cpu_hi,
         "work_scaling_efficiency": round(cpu_lo / cpu_hi, 3) if cpu_hi else None,
         "utilization_n": round(cpu_lo / (lo["build_s"] + 1e-9) / SCALING_N, 2),
@@ -283,52 +337,61 @@ def run_scaling() -> dict | None:
 
 
 def main() -> None:
-    tmp = tempfile.mkdtemp(prefix="sepp_bench_")
-    try:
-        big = run_build(CPUS, N_DOCS, f"{tmp}/big")
-        scaling = run_scaling() if DO_SCALING else None
-        cpu = cpu_probe()
-        if scaling is not None and "efficiency" in scaling:
-            # the host's SAME-WINDOW delivered parallelism bounds any
-            # wall-clock efficiency: ceiling = speedup(4N)/(4*speedup(N));
-            # efficiency_vs_host_ceiling reads out how much of the
-            # achievable scaling the build actually realizes
-            s_n = cpu["speedup"].get(str(SCALING_N))
-            s_4n = cpu["speedup"].get(str(SCALING_N * 4))
-            if s_n and s_4n:
-                ceil = s_4n / (4 * s_n)
-                scaling["host_ceiling_efficiency"] = round(ceil, 3)
-                scaling["efficiency_vs_host_ceiling"] = round(
-                    scaling["efficiency"] / ceil, 3)
-        queries = {"build": round(big["build_s"], 3),
-                   "query_batch": round(big.get("query_s", 0.0), 3)}
-        queries.update(big.get("per_query", {}))
-        out = {
-            "metric": "index-build+query wall clock "
-                      f"({N_DOCS} synthetic docs, local[{CPUS}])",
-            "value": round(big["build_s"] + big.get("query_s", 0.0), 3),
-            "unit": "sec",
-            "queries": queries,
-            "sf": SF_DIR,
-            "docs_per_sec": round(big["docs_per_sec"], 1),
-            "n_docs": N_DOCS,
-            "build_phases": big.get("phases"),
-            "scaling": scaling,
-            "index_size": big.get("index_size"),
-            "cpu": cpu,
-        }
-        print(json.dumps(out))
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    big = run_headline()
+    scaling = None
+    scaling_exec = None
+    if DO_SCALING:
+        if SCALING_MODE in ("both", "jvm"):
+            scaling = run_scaling(executor_style=False)
+        if SCALING_MODE in ("both", "executor"):
+            scaling_exec = run_scaling(executor_style=True)
+    cpu = cpu_probe()
+    if scaling is not None and "efficiency" in scaling:
+        # the host's SAME-WINDOW delivered parallelism bounds any
+        # single-JVM wall-clock efficiency: ceiling = speedup(4N)/(4*speedup(N))
+        s_n = cpu["speedup"].get(str(SCALING_N))
+        s_4n = cpu["speedup"].get(str(SCALING_N * 4))
+        if s_n and s_4n:
+            ceil = s_4n / (4 * s_n)
+            scaling["host_ceiling_efficiency"] = round(ceil, 3)
+            scaling["efficiency_vs_host_ceiling"] = round(
+                scaling["efficiency"] / ceil, 3)
+    queries = {"build": round(big["build_s"], 3),
+               "query_batch": round(big.get("query_s", 0.0), 3)}
+    queries.update(big.get("per_query", {}))
+    out = {
+        "metric": "index-build+query wall clock "
+                  f"({N_DOCS} synthetic docs, local[{CPUS}], "
+                  f"min of {BENCH_RUNS} fresh-JVM runs)",
+        "value": round(big["build_s"] + big.get("query_s", 0.0), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "docs_per_sec": round(big["docs_per_sec"], 1),
+        "n_docs": N_DOCS,
+        "headline_all_runs_s": big.get("all_runs"),
+        "headline_all_build_s": big.get("all_build_s"),
+        "build_phases": big.get("phases"),
+        "scaling": scaling,
+        "scaling_executor": scaling_exec,
+        "index_size": big.get("index_size"),
+        "cpu": cpu,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-run":
-        cores, n_docs, workdir = (int(sys.argv[2]), int(sys.argv[3]),
-                                  sys.argv[4])
-        r = run_build(cores, n_docs, workdir, run_queries=False)
-        print(json.dumps({"build_s": r["build_s"],
-                          "docs_per_sec": r["docs_per_sec"],
-                          "phases": r["phases"], "cpu_s": r["cpu_s"]}))
+    if len(sys.argv) > 1 and sys.argv[1] == "--one-run":
+        mode, cores, n_docs, workdir = (sys.argv[2], int(sys.argv[3]),
+                                        int(sys.argv[4]), sys.argv[5])
+        r = run_build(cores, n_docs, workdir,
+                      run_queries=(mode == "headline"),
+                      executor_style=(mode == "executor"))
+        slim = {"build_s": r["build_s"], "docs_per_sec": r["docs_per_sec"],
+                "phases": r["phases"], "cpu_s": r["cpu_s"]}
+        for k in ("query_s", "per_query", "index_size"):
+            if k in r:
+                slim[k] = r[k]
+        print(json.dumps(slim))
     else:
         main()

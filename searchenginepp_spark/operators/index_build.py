@@ -217,69 +217,97 @@ _SHARD_SCHEMA = StructType([
 ])
 
 
+def _encode_one(term: str, salt: int, docids_in, tfs, doclens_in,
+                block_size: int, avgdl: float) -> dict:
+    """Encode ONE (term, salt) posting group (docid-sorted numpy slices)
+    into a compressed index row with fused skip pointers and idf-free
+    score-part maxima."""
+    docids = docids_in.astype(np.uint64)
+    doclens = doclens_in.astype(np.uint64)
+    n = docids.size
+    tf_f = tfs.astype(np.float64)
+    bm25_part = tf_f / (BM25_K1 * ((1 - BM25_B)
+                                   + BM25_B * doclens.astype(np.float64)
+                                   / avgdl) + tf_f)
+    tfidf_part = 1.0 + np.log2(tf_f)
+    gaps = delta_encode(docids)
+    d_offs = varbyte_value_offsets(gaps)
+    t_offs = unary_value_bit_offsets(tfs)
+    l_offs = varbyte_value_offsets(doclens)
+    bstarts = np.arange(0, n, block_size)
+    bends = np.minimum(bstarts + block_size, n) - 1
+    skips = [
+        {
+            "last_docid": int(docids[be]),
+            "prev_docid": int(docids[bs - 1]) if bs > 0 else 0,
+            "n_postings": int(be - bs + 1),
+            "docid_off": int(d_offs[bs]),
+            "tf_bit_off": int(t_offs[bs]),
+            "doclen_off": int(l_offs[bs]),
+            "bm25_part_ub": float(np.max(bm25_part[bs:be + 1])),
+            "tfidf_part_ub": float(np.max(tfidf_part[bs:be + 1])),
+        }
+        for bs, be in zip(bstarts, bends)
+    ]
+    return {
+        "term": term,
+        "shard": int(salt),
+        "df_shard": int(n),
+        "first_docid": int(docids[0]),
+        "last_docid": int(docids[-1]),
+        "docid_blob": varbyte_encode(gaps),
+        "tf_blob": unary_encode(tfs),
+        "doclen_blob": varbyte_encode(doclens),
+        "sigma_bm25_part": float(bm25_part.max()),
+        "sigma_tfidf_part": float(tfidf_part.max()),
+        "avgdl_encode": float(avgdl),
+        "skips": skips,
+    }
+
+
 def _encode_groups(terms, salts_np, docids_np, tfs_np, dl_np, change,
                    block_size: int, avgdl: float) -> list[dict]:
     """Encode a run of complete (term, salt) groups (rows already sorted by
-    (term, salt, docid) by the JVM) into compressed index rows with fused
-    skip pointers and idf-free score-part maxima.
+    (term, salt, docid) by the JVM) into compressed index rows.
 
     `terms` is a pyarrow StringArray — only ONE string per group is ever
     materialized into Python (`terms[s].as_py()`); `change` holds the
     precomputed group-start offsets."""
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(salts_np)]))
-    rows = []
-    for s, e in zip(starts, ends):
-        docids = docids_np[s:e].astype(np.uint64)
-        tfs = tfs_np[s:e]
-        doclens = dl_np[s:e].astype(np.uint64)
-        n = e - s
-        tf_f = tfs.astype(np.float64)
-        bm25_part = tf_f / (BM25_K1 * ((1 - BM25_B)
-                                       + BM25_B * doclens.astype(np.float64)
-                                       / avgdl) + tf_f)
-        tfidf_part = 1.0 + np.log2(tf_f)
-        gaps = delta_encode(docids)
-        d_offs = varbyte_value_offsets(gaps)
-        t_offs = unary_value_bit_offsets(tfs)
-        l_offs = varbyte_value_offsets(doclens)
-        bstarts = np.arange(0, n, block_size)
-        bends = np.minimum(bstarts + block_size, n) - 1
-        skips = [
-            {
-                "last_docid": int(docids[be]),
-                "prev_docid": int(docids[bs - 1]) if bs > 0 else 0,
-                "n_postings": int(be - bs + 1),
-                "docid_off": int(d_offs[bs]),
-                "tf_bit_off": int(t_offs[bs]),
-                "doclen_off": int(l_offs[bs]),
-                "bm25_part_ub": float(np.max(bm25_part[bs:be + 1])),
-                "tfidf_part_ub": float(np.max(tfidf_part[bs:be + 1])),
-            }
-            for bs, be in zip(bstarts, bends)
-        ]
-        rows.append({
-            "term": terms[s].as_py(),
-            "shard": int(salts_np[s]),
-            "df_shard": int(n),
-            "first_docid": int(docids[0]),
-            "last_docid": int(docids[-1]),
-            "docid_blob": varbyte_encode(gaps),
-            "tf_blob": unary_encode(tfs),
-            "doclen_blob": varbyte_encode(doclens),
-            "sigma_bm25_part": float(bm25_part.max()),
-            "sigma_tfidf_part": float(tfidf_part.max()),
-            "avgdl_encode": float(avgdl),
-            "skips": skips,
-        })
-    return rows
+    return [
+        _encode_one(terms[s].as_py(), salts_np[s], docids_np[s:e],
+                    tfs_np[s:e], dl_np[s:e], block_size, avgdl)
+        for s, e in zip(starts, ends)
+    ]
+
+
+def _pa_shard_schema():
+    import pyarrow as pa
+
+    pa_skip = pa.list_(pa.struct([
+        ("last_docid", pa.int64()), ("prev_docid", pa.int64()),
+        ("n_postings", pa.int64()), ("docid_off", pa.int64()),
+        ("tf_bit_off", pa.int64()), ("doclen_off", pa.int64()),
+        ("bm25_part_ub", pa.float64()), ("tfidf_part_ub", pa.float64()),
+    ]))
+    return pa.schema([
+        ("term", pa.string()), ("shard", pa.int64()),
+        ("df_shard", pa.int64()), ("first_docid", pa.int64()),
+        ("last_docid", pa.int64()), ("docid_blob", pa.binary()),
+        ("tf_blob", pa.binary()), ("doclen_blob", pa.binary()),
+        ("sigma_bm25_part", pa.float64()), ("sigma_tfidf_part", pa.float64()),
+        ("avgdl_encode", pa.float64()),
+        ("skips", pa_skip),
+    ])
 
 
 def build_index_shards(postings: DataFrame, avgdl: float,
                        salt_target: int = SALT_TARGET_POSTINGS,
                        num_partitions: int | None = None,
                        block_size: int = SKIP_BLOCK_SIZE,
-                       heavy: DataFrame | None = None) -> DataFrame:
+                       heavy: DataFrame | None = None,
+                       transfer: str = "row") -> DataFrame:
     """The one wide shuffle: postings → compressed per-(term,shard) index
     rows with fused skip pointers and σ-part maxima.
 
@@ -296,6 +324,18 @@ def build_index_shards(postings: DataFrame, avgdl: float,
          column — only one Python string per GROUP is ever materialized;
          int columns reach numpy zero-copy.  Numpy codecs, zero Python
          sorting, zero second pass.
+
+    transfer="group" replaces steps 2-3 with a JVM collect_list aggregation:
+    groupBy(term, salt) → array_sort → one array<struct> row per group →
+    mapInArrow decodes the list offsets zero-copy.  The term string then
+    crosses the JVM→Python Arrow boundary (and, via map-side partial agg,
+    the shuffle wire) once per GROUP instead of once per POSTING — the
+    measured residual cost of the encode stage (CLAUDE.md).  Trade-offs:
+    per-task agg buffers hold full groups (≤ salt_target postings ≈
+    salt_target·16 B raw each) and partition count follows
+    spark.sql.shuffle.partitions / AQE instead of `num_partitions`; cap
+    Arrow batches with spark.sql.execution.arrow.maxBytesPerBatch on
+    memory-tight executors.
     """
     if heavy is None:
         heavy = (
@@ -314,6 +354,11 @@ def build_index_shards(postings: DataFrame, avgdl: float,
         )
         .drop("n_buckets")
     )
+    if transfer == "group":
+        return _build_shards_grouped(salted, block_size, avgdl)
+    if transfer != "row":
+        raise ValueError(f"unknown transfer mode: {transfer}")
+
     n_parts = (num_partitions
                or postings.sparkSession.sparkContext.defaultParallelism)
     # int32 tf/doclen/salt: tf,doclen ≤ tokens/doc << 2^31 — shrinks both
@@ -332,21 +377,7 @@ def build_index_shards(postings: DataFrame, avgdl: float,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    pa_skip = pa.list_(pa.struct([
-        ("last_docid", pa.int64()), ("prev_docid", pa.int64()),
-        ("n_postings", pa.int64()), ("docid_off", pa.int64()),
-        ("tf_bit_off", pa.int64()), ("doclen_off", pa.int64()),
-        ("bm25_part_ub", pa.float64()), ("tfidf_part_ub", pa.float64()),
-    ]))
-    pa_shard = pa.schema([
-        ("term", pa.string()), ("shard", pa.int64()),
-        ("df_shard", pa.int64()), ("first_docid", pa.int64()),
-        ("last_docid", pa.int64()), ("docid_blob", pa.binary()),
-        ("tf_blob", pa.binary()), ("doclen_blob", pa.binary()),
-        ("sigma_bm25_part", pa.float64()), ("sigma_tfidf_part", pa.float64()),
-        ("avgdl_encode", pa.float64()),
-        ("skips", pa_skip),
-    ])
+    pa_shard = _pa_shard_schema()
 
     def columns(tbl: pa.Table):
         terms = tbl.column("term").combine_chunks()
@@ -392,6 +423,56 @@ def build_index_shards(postings: DataFrame, avgdl: float,
             yield emit(buf)
 
     return arranged.mapInArrow(encode_stream, schema=_SHARD_SCHEMA)
+
+
+def _build_shards_grouped(salted: DataFrame, block_size: int,
+                          avgdl: float) -> DataFrame:
+    """transfer="group" encode path (see build_index_shards docstring):
+    JVM-side groupBy(term, salt) + array_sort(collect_list(struct)) builds
+    one array<struct<docid,tf,doclen>> row per posting group, so the Arrow
+    boundary ships the term string once per group; the kernel reads the
+    list offsets + int child arrays zero-copy and encodes group-at-a-time.
+    Groups never span batches (one row IS one group) — no carry buffer."""
+    import pyarrow as pa
+
+    grouped = (
+        salted.select(
+            "term", F.col("salt").cast("int").alias("salt"),
+            F.struct(
+                F.col("docid"),
+                F.col("tf").cast("int").alias("tf"),
+                F.col("doclen").cast("int").alias("doclen")).alias("p"))
+        .groupBy("term", "salt")
+        .agg(F.array_sort(F.collect_list("p")).alias("plist"))
+        # restore (term, salt) clustering for parquet row-group min/max
+        # pruning on term — agg output order is hash-arbitrary
+        .sortWithinPartitions("term", "salt")
+    )
+    pa_shard = _pa_shard_schema()
+
+    def encode_grouped(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            terms = batch.column("term")
+            salts = batch.column("salt").to_numpy(zero_copy_only=False)
+            pl = batch.column("plist")
+            offs = pl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = pl.values          # offsets index into the child arrays
+            docids = vals.field("docid").to_numpy(zero_copy_only=False)
+            tfs = vals.field("tf").to_numpy(zero_copy_only=False)
+            dls = vals.field("doclen").to_numpy(zero_copy_only=False)
+            rows = [
+                _encode_one(terms[i].as_py(), salts[i],
+                            docids[offs[i]:offs[i + 1]],
+                            tfs[offs[i]:offs[i + 1]],
+                            dls[offs[i]:offs[i + 1]],
+                            block_size, avgdl)
+                for i in range(batch.num_rows)
+            ]
+            yield pa.RecordBatch.from_pylist(rows, schema=pa_shard)
+
+    return grouped.mapInArrow(encode_grouped, schema=_SHARD_SCHEMA)
 
 
 def index_size_report(spark: SparkSession, paths: "IndexPaths") -> dict:

@@ -154,3 +154,41 @@ def test_index_size_report(spark, built):
     # unary tf: average tf is small, so only a few bits per posting
     assert rep["bits_per_posting_tf"] < 16.0
     assert rep["disk_shards_bytes"] > 0 and rep["disk_docmap_bytes"] > 0
+
+
+def test_grouped_transfer_encodes_identically(spark):
+    """build_index_shards(transfer="group") — the JVM collect_list variant
+    that ships one term string per GROUP across the Arrow boundary — must
+    produce byte-identical shard rows to the default sorted-row path
+    (same blobs, same skips, same σ)."""
+    from searchenginepp_spark.operators.index_build import (
+        build_index_shards, explode_postings,
+    )
+
+    corpus = assign_docids_window(with_content_sha256(with_docno(
+        synthesize_corpus(spark, 200))))
+    postings = explode_postings(corpus, stem=False).cache()
+    avgdl = (postings.groupBy("docid").agg(F.first("doclen").alias("dl"))
+             .agg(F.avg("dl")).collect()[0][0])
+
+    def canon(df):
+        out = []
+        for r in df.collect():
+            out.append((
+                r["term"], r["shard"], r["df_shard"], r["first_docid"],
+                r["last_docid"], bytes(r["docid_blob"]), bytes(r["tf_blob"]),
+                bytes(r["doclen_blob"]), round(r["sigma_bm25_part"], 9),
+                round(r["sigma_tfidf_part"], 9), round(r["avgdl_encode"], 6),
+                tuple((s["last_docid"], s["prev_docid"], s["n_postings"],
+                       s["docid_off"], s["tf_bit_off"], s["doclen_off"],
+                       round(s["bm25_part_ub"], 9), round(s["tfidf_part_ub"], 9))
+                      for s in r["skips"])))
+        return sorted(out)
+
+    row = canon(build_index_shards(postings, float(avgdl),
+                                   salt_target=64, block_size=16))
+    grp = canon(build_index_shards(postings, float(avgdl), salt_target=64,
+                                   block_size=16, transfer="group"))
+    postings.unpersist()
+    assert row == grp
+    assert len(row) > 200       # salting + multi-term corpus actually engaged
