@@ -8,13 +8,15 @@ The filter runs on the lowercased, pre-stem token
 
 from __future__ import annotations
 
-import os
 from functools import lru_cache
-
-_DATA = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "stop_words.txt")
+from importlib import resources
 
 
 @lru_cache(maxsize=1)
 def stop_words() -> frozenset[str]:
-    with open(_DATA, encoding="utf-8") as fh:
-        return frozenset(line.rstrip("\n") for line in fh if line.strip())
+    # importlib.resources, not a __file__-relative path: executors importing
+    # the package from a spark-submit --py-files ZIP have no directory to
+    # open (found by the local-cluster spark-submit smoke, round 3)
+    text = (resources.files("searchenginepp_spark") / "data"
+            / "stop_words.txt").read_text(encoding="utf-8")
+    return frozenset(line for line in text.splitlines() if line.strip())
