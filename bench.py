@@ -30,8 +30,11 @@ Environment:
                            a measurable share of a 500k 4-executor run;
                            1M amortizes them: measured executor-mode
                            efficiency 0.73 @500k → 0.86 @1M, round 3)
-  SPARK_GRAFT_SCALING_RUNS min-of-N alternating runs per config (default 3
-                           — CLAUDE.md protocol: 2-4x host noise)
+  SPARK_GRAFT_SCALING_RUNS min-of-N alternating runs per config (default 2:
+                           with the 1M-doc scaling corpus the full default
+                           bench stays ~25 min; the committed
+                           measurements/*.json carry min-of-3 windows of
+                           every configuration — CLAUDE.md protocol)
 
 Scaling evidence (BASELINE.md / north rule), two modes:
 
@@ -75,7 +78,7 @@ BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALING_MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "executor")
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
-SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
 # N of the N-vs-4N pair.  Default 1 (1 vs 4 cores): the host delivers
 # ~1.95x at 2 procs but only ~6.5x at 8 (cpu probe) — a 2-vs-8 pair is
 # PHYSICALLY capped at ~0.72 efficiency on this box no matter how well the
