@@ -372,6 +372,19 @@ def _slice_rows_fn(bounds: np.ndarray, col_names: list[str]):
     return fn
 
 
+def _auto_n_ranges(qt: list[tuple[int, str]], df_by_term: dict[str, int],
+                   range_target: int) -> int:
+    """Fan-out guard: ceil(worst-case per-query matched postings /
+    range_target), never below 1 — auto mode therefore NEVER slices a query
+    whose matched postings (Σ df over its terms) fit a single task, so the
+    toy-scale forced-slicing penalty (see search_bmm docstring) cannot
+    happen by configuration accident."""
+    worst = max(
+        (sum(df_by_term.get(t, 0) for qq, t in qt if qq == qid)
+         for qid in {q for q, _ in qt}), default=0)
+    return max(1, -(-worst // range_target))
+
+
 def search_bmm(spark: SparkSession, index_root: str,
                queries: Iterable[tuple[int, str]], k: int = DEFAULT_TOP_K,
                scorer: str = "bm25", stem: bool = True,
@@ -386,9 +399,14 @@ def search_bmm(spark: SparkSession, index_root: str,
     docstring): slice lists by docid range → shuffle by (qid, range_id) →
     MaxScore per range → per-qid window merge → broadcast-join docnos.
 
-    n_ranges: docid-range fan-out per query; None picks
-    ceil(max_query_postings / range_target) so one task never holds more
-    than ~range_target postings.  1 collapses to the single-task path.
+    n_ranges: docid-range fan-out per query; None (the default — use it)
+    picks ceil(max_query_postings / range_target) via _auto_n_ranges, so one
+    task never holds more than ~range_target postings AND no query is ever
+    sliced when its postings already fit one task.  1 collapses to the
+    single-task path.  Forcing n_ranges > 1 below range_target postings
+    buys nothing and pays a full slicing pass — measured ~60% extra at toy
+    scale (BENCH_r03: 3.20 s forced n_ranges=4 vs 1.99 s auto) — it exists
+    for tests and for memory-tight executors with a lowered range_target.
     """
     from searchenginepp_spark.config import BM25_B, BM25_K1
     from searchenginepp_spark.operators.index_build import IndexPaths
@@ -411,10 +429,7 @@ def search_bmm(spark: SparkSession, index_root: str,
     lex_rows = lexicon.collect()          # |query terms| rows — tiny
     df_by_term = {r["term"]: int(r["df"]) for r in lex_rows}
     if n_ranges is None:
-        worst = max(
-            (sum(df_by_term.get(t, 0) for qq, t in qt if qq == qid)
-             for qid in {q for q, _ in qt}), default=0)
-        n_ranges = max(1, -(-worst // range_target))
+        n_ranges = _auto_n_ranges(qt, df_by_term, range_target)
 
     shards = (
         spark.read.parquet(paths.shards)

@@ -213,7 +213,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 
     Bucket-population bound (VERDICT rounds 1-2: the old 1-block key was
     bits/4 = 12 bits → 4,096 buckets → intra-bucket quadratic at ~10^9
-    docs): each table's key is c·(bits/n_blocks) bits wide — the default
+    docs): each table's key is the sum of its c chosen block widths — at
+    least c·floor(bits/n_blocks) bits (the last block folds in any
+    bits % n_blocks remainder, so every fingerprint bit keys) — the default
     (48 bits, h=3, n_blocks=6) keys on 24 bits = 16.7M buckets, and
     raising n_blocks toward 2·h trades more tables (C(n_blocks, c) rows
     per doc, linear cost) for wider keys.  Size the key width to
@@ -226,16 +228,27 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     from itertools import combinations
 
     sh = simhash(docs, bits)
-    block_sz = bits // n_blocks
-    mask = (1 << block_sz) - 1
+    # Block b covers bits [b*base, (b+1)*base); the LAST block additionally
+    # absorbs bits % n_blocks remainder bits (ADVICE round 3: without
+    # folding, the top remainder bits would be excluded from every table
+    # key — recall still held via the exact hamming filter, but the
+    # documented key-width arithmetic overstated the key space).
+    base = bits // n_blocks
+    if base < 1:
+        raise ValueError(f"n_blocks={n_blocks} exceeds bits={bits}")
+    offs = [b * base for b in range(n_blocks)]
+    widths = [base] * (n_blocks - 1) + [base + bits % n_blocks]
     tables = []
     for t, combo in enumerate(combinations(range(n_blocks), c)):
-        # key = the c chosen blocks' values concatenated (block_sz bits each)
+        # key = the c chosen blocks' values concatenated (variable widths)
         val = None
-        for pos, bidx in enumerate(combo):
-            piece = (F.shiftright(F.col("simhash"), bidx * block_sz)
-                     .bitwiseAND(F.lit(mask)) * F.lit(1 << (pos * block_sz)))
+        shift = 0
+        for bidx in combo:
+            mask = (1 << widths[bidx]) - 1
+            piece = (F.shiftright(F.col("simhash"), offs[bidx])
+                     .bitwiseAND(F.lit(mask)) * F.lit(1 << shift))
             val = piece if val is None else val + piece
+            shift += widths[bidx]
         tables.append(F.struct(F.lit(t).cast("long").alias("tbl"),
                                val.alias("val")))
     blocks = sh.select(

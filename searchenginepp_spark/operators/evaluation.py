@@ -23,7 +23,8 @@ Inputs:
 Metrics per query, then macro-averaged (reference report table 3.1 set):
   ap       Σ_{hits} precision@rank / n_relevant   (binary: gain > 0)
   ndcg     Σ gain/log2(rank+1) over top-k, normalized by ideal DCG@k
-  ndcg_20  same at cut 20 (DCG from the depth-k run, ideal DCG@20)
+  ndcg_20  same at the second cut min(k, 20) — equals ndcg when k <= 20;
+           requesting a cut deeper than the run (ndcg_cut2 > k) raises
   rr       1 / rank of the first relevant hit
   set_p    |retrieved ∩ relevant| / |retrieved|       (set precision)
   set_r    |retrieved ∩ relevant| / n_relevant        (set recall)
@@ -37,11 +38,24 @@ from pyspark.sql import functions as F
 
 
 def evaluate_topk(results: DataFrame, qrels: DataFrame,
-                  k: int = 10, ndcg_cut2: int = 20) -> DataFrame:
+                  k: int = 10, ndcg_cut2: int | None = None) -> DataFrame:
     """Per-query (qid, ap, ndcg, ndcg_20, rr, set_p, set_r, set_f,
     n_relevant) — one join + windows, no driver-side loops (qrels may be
     arbitrarily large).  All metrics are @k (truncated-run semantics — see
-    module docstring)."""
+    module docstring).
+
+    ndcg_cut2 (the second nDCG cut, column `ndcg_20`) defaults to
+    min(k, 20): a run of depth k can only evidence DCG down to rank k, so a
+    deeper cut would divide a depth-k DCG by a depth-20 ideal and
+    systematically understate standard nDCG@20 (ADVICE round 3).  Passing
+    ndcg_cut2 > k explicitly raises for the same reason — supply a deeper
+    run instead."""
+    if ndcg_cut2 is None:
+        ndcg_cut2 = min(k, 20)
+    if ndcg_cut2 > k:
+        raise ValueError(
+            f"ndcg_cut2={ndcg_cut2} exceeds run depth k={k}: the truncated "
+            f"run cannot evidence DCG below rank {k} — pass a deeper run")
     run = results.select("qid", "docid", "rank").filter(F.col("rank") <= k)
     judged = run.join(qrels.select("qid", "docid", "gain"),
                       ["qid", "docid"], "left").withColumn(

@@ -210,11 +210,14 @@ SELECT qid, docid, rank::BIGINT AS rank, score FROM ranked WHERE rank <= {k}
 
 
 def sql_eval_metrics(k: int = TOP_K, qrels_mod: int = 7,
-                     ndcg_cut2: int = 20) -> str:
-    """Per-qid AP / nDCG@k / nDCG@20 / RR / set-P/R/F of the BM25 run
+                     ndcg_cut2: int | None = None) -> str:
+    """Per-qid AP / nDCG@k / nDCG@min(k,20) / RR / set-P/R/F of the BM25 run
     against the deterministic synthetic qrels (relevant iff doc_id % mod ==
     qid % mod) — mirrors operators/evaluation.evaluate_topk
-    expression-for-expression (truncated-run @k semantics)."""
+    expression-for-expression (truncated-run @k semantics; the second nDCG
+    cut defaults to min(k, 20) in lockstep with evaluate_topk)."""
+    if ndcg_cut2 is None:
+        ndcg_cut2 = min(k, 20)
     return f"""
 WITH run AS ({sql_topk("bm25", conjunctive=False, k=k)}),
   qids AS (

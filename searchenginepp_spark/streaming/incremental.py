@@ -99,12 +99,19 @@ def _stage_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
         with_content_sha256(with_docno(batch)), start=base + 1,
         return_handle=True)
     try:
-        # per-batch dir + overwrite = idempotent under micro-batch replay
+        # per-batch dir + overwrite = idempotent under micro-batch replay.
+        # Postings FIRST: finalize/refresh treat a committed docmap dir as
+        # "batch fully staged", so the docmap commit must be the last write
+        # (ADVICE round 3 — a crash between the two writes used to leave a
+        # half-staged batch whose docs would fold with zero postings).  An
+        # orphaned postings dir from a crash before the docmap write is
+        # harmless: its batch id is never listed as committed, and the
+        # stream replay overwrites it.
+        explode_postings(prepared, stem=stem).select(*_POSTING_COLS).write.mode(
+            "overwrite").parquet(f"{staging.postings}/batch={batch_id}")
         (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
          .select(*_DOCMAP_COLS)
          .write.mode("overwrite").parquet(f"{staging.docmap}/batch={batch_id}"))
-        explode_postings(prepared, stem=stem).select(*_POSTING_COLS).write.mode(
-            "overwrite").parquet(f"{staging.postings}/batch={batch_id}")
     finally:
         handle.unpersist()
 
@@ -205,6 +212,18 @@ def refresh_index(spark: SparkSession, staging_root: str, out: str,
             folded = m["batches"]
             prev_segments = int(m.get("n_segments", 1))
     new_ids = sorted(set(committed) - set(folded))
+    # _stage_batch commits postings before docmap, so every committed docmap
+    # batch normally has its postings dir; staging written by an older
+    # version (docmap-first) can still hold a half-staged batch after a
+    # crash — surface it instead of KeyError / silently folding term-less
+    # docs (ADVICE round 3).  Re-running the ingest stream replays the
+    # batch and completes it.
+    half_staged = [i for i in new_ids if i not in post_dirs]
+    if half_staged:
+        raise RuntimeError(
+            f"half-staged batches {half_staged} in {staging_root}: docmap "
+            f"committed without postings — re-run start_ingest to let the "
+            f"stream replay them before refreshing")
 
     n_segments = prev_segments
     if prev_root is None:
@@ -284,6 +303,15 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
     work.  Reads only COMMITTED batch dirs; run after a drained ingest."""
     staging = StagingPaths(staging_root)
     paths = IndexPaths(out)
+    dm_ids = {int(p.rstrip("/").rsplit("batch=", 1)[1])
+              for p in _committed_batch_dirs(spark, staging.docmap)}
+    post_ids = {int(p.rstrip("/").rsplit("batch=", 1)[1])
+                for p in _committed_batch_dirs(spark, staging.postings)}
+    if dm_ids - post_ids:
+        raise RuntimeError(
+            f"half-staged batches {sorted(dm_ids - post_ids)} in "
+            f"{staging_root}: docmap committed without postings — re-run "
+            f"start_ingest to let the stream replay them before finalizing")
     docmap = read_staged_docmap(spark, staging)
     docmap.write.mode("overwrite").parquet(paths.docmap)
 
@@ -292,7 +320,13 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
     n_docs = int(srow["n_docs"])
     avgdl = (srow["sum_doclen"] / n_docs) if n_docs else 0.0
 
-    postings = read_staged_postings(spark, staging)
+    # only batches whose DOCMAP committed: an orphaned postings dir (crash
+    # after the postings write, before the docmap commit) belongs to a
+    # batch the stream will replay — its docs are not in this docmap/stats
+    post_dirs = [p for p in _committed_batch_dirs(spark, staging.postings)
+                 if int(p.rstrip("/").rsplit("batch=", 1)[1]) in dm_ids]
+    postings = (spark.read.parquet(*post_dirs).select(*_POSTING_COLS)
+                if post_dirs else read_staged_postings(spark, staging))
     shards = build_index_shards(postings, float(avgdl),
                                 salt_target=salt_target,
                                 num_partitions=term_partitions,

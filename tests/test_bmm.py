@@ -153,6 +153,24 @@ def test_bmm_auto_ranges_engage(spark, built):
     assert _rows(bmm) == _rows(exact)
 
 
+def test_auto_ranges_never_slice_below_target():
+    """VERDICT round 3 #6: auto mode must NEVER slice a query whose matched
+    postings fit one task (forced slicing at toy scale measured ~60% extra,
+    BENCH_r03) — and must slice exactly ceil(worst/target) otherwise."""
+    from searchenginepp_spark.operators.bmm import _auto_n_ranges
+
+    qt = [(1, "a"), (1, "b"), (2, "c")]
+    dfs = {"a": 400, "b": 600, "c": 50}
+    # worst query (qid=1) has 1000 matched postings
+    assert _auto_n_ranges(qt, dfs, range_target=1000) == 1
+    assert _auto_n_ranges(qt, dfs, range_target=10_000_000) == 1
+    assert _auto_n_ranges(qt, dfs, range_target=999) == 2
+    assert _auto_n_ranges(qt, dfs, range_target=250) == 4
+    assert _auto_n_ranges([], {}, range_target=100) == 1
+    # terms missing from the lexicon contribute nothing
+    assert _auto_n_ranges([(1, "zz")], dfs, range_target=1) == 1
+
+
 def test_two_level_plan_shape(spark, built):
     """Scale-shape invariant: in the two-level plan the blob shuffle is
     keyed by (qid, range_id) — never by qid alone — so no single task holds

@@ -90,6 +90,25 @@ def test_simhash_near_pairs_exactness(spark, testdata_docs):
     assert want, "no near pairs at hamming<=3 — threshold dead"
 
 
+def test_simhash_near_pairs_non_divisible_bits(spark, testdata_docs):
+    """bits % n_blocks != 0: the remainder bits fold into the last block
+    (ADVICE round 3) — exactness must hold with uneven block widths too."""
+    bits, n_blocks = 50, 7
+    sh = {r["docid"]: r["simhash"]
+          for r in simhash(testdata_docs, bits).collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["docid_a"], r["docid_b"]): r["hamming"]
+           for r in simhash_near_pairs(testdata_docs, max_hamming=3,
+                                       bits=bits, n_blocks=n_blocks).collect()}
+    assert got == want
+
+
 def _np_embeddings(embeddings):
     rows = embeddings.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])

@@ -26,6 +26,18 @@ def test_metric_known_answers(spark):
     assert row["set_f"] == pytest.approx(0.8, abs=1e-6)  # 2PR/(P+R)
 
 
+def test_ndcg_cut_deeper_than_run_raises(spark):
+    # ADVICE round 3: a cut-20 nDCG of a depth-10 run understates standard
+    # nDCG@20 — the mismatch must surface at call time, and the default
+    # second cut must follow the run depth (min(k, 20))
+    results = spark.createDataFrame([(1, 2, 1)], "qid long, docid long, rank long")
+    qrels = spark.createDataFrame([(1, 2, 1.0)], "qid long, docid long, gain double")
+    with pytest.raises(ValueError, match="run depth"):
+        evaluate_topk(results, qrels, k=10, ndcg_cut2=20)
+    row = evaluate_topk(results, qrels, k=10).collect()[0]  # default: cut 10
+    assert row["ndcg_20"] == row["ndcg"]
+
+
 def test_unretrieved_relevant_lowers_ap(spark):
     results = spark.createDataFrame([(1, 2, 1)], "qid long, docid long, rank long")
     qrels = spark.createDataFrame(

@@ -118,6 +118,61 @@ def test_stage_batch_replay_is_idempotent(spark, tmp_path):
                       read_staged_postings(spark, staging).collect())) == post1
 
 
+def test_half_staged_batch_surfaces_clear_error(spark, tmp_path):
+    """ADVICE round 3: a batch whose docmap committed without its postings
+    (possible only in staging written by the old docmap-first order) must
+    fail finalize/refresh with a clear message, not KeyError / a silently
+    term-less fold."""
+    import shutil
+
+    import pytest
+
+    from searchenginepp_spark.streaming.incremental import (
+        StagingPaths, _stage_batch, refresh_index,
+    )
+
+    corpus = synthesize_corpus(spark, 30)
+    staging = StagingPaths(str(tmp_path / "staging"))
+    _stage_batch(spark, corpus, 0, staging, stem=True)
+    # simulate the legacy crash: postings of batch 0 vanish, docmap stays
+    shutil.rmtree(f"{staging.postings}/batch=0")
+    with pytest.raises(RuntimeError, match="half-staged"):
+        finalize_index(spark, staging.root, str(tmp_path / "idx"))
+    prev = str(tmp_path / "prev_idx")
+    build_index(spark, synthesize_corpus(spark, 10), prev,
+                salt_target=64, block_size=16)
+    with pytest.raises(RuntimeError, match="half-staged"):
+        refresh_index(spark, staging.root, str(tmp_path / "idx2"),
+                      prev_root=prev)
+
+
+def test_orphan_postings_dir_is_ignored_by_finalize(spark, tmp_path):
+    """The inverse crash (postings committed, docmap not — possible with the
+    new postings-first order): finalize must EXCLUDE the orphan's postings,
+    since its docs are absent from docmap/stats and the stream will replay
+    the batch."""
+    import shutil
+
+    from searchenginepp_spark.streaming.incremental import (
+        StagingPaths, _stage_batch,
+    )
+
+    corpus = synthesize_corpus(spark, 40)
+    b1 = corpus.filter(F.crc32("path") % 2 == 0)
+    b2 = corpus.subtract(b1)
+    staging = StagingPaths(str(tmp_path / "staging"))
+    _stage_batch(spark, b1, 0, staging, stem=True)
+    _stage_batch(spark, b2, 1, staging, stem=True)
+    shutil.rmtree(f"{staging.docmap}/batch=1")      # crash before docmap
+    idx = finalize_index(spark, staging.root, str(tmp_path / "idx"))
+    n1 = b1.count()
+    assert spark.read.parquet(idx.docmap).count() == n1
+    # no postings from the orphan batch leaked into the shard table
+    max_docid = spark.read.parquet(idx.shards).agg(
+        F.max("last_docid")).collect()[0][0]
+    assert max_docid <= n1
+
+
 def test_refresh_index_incremental_folding(spark, tmp_path):
     """refresh_index folds ONLY newly staged batches into a delta segment
     and merges it metadata-only with the previous index: results equal a
