@@ -116,12 +116,32 @@ def _built_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def _docid_from_docno(res: DataFrame) -> DataFrame:
+# Internal index docids are assigned in (repo, path, commit) order — the
+# engine contract breaks rounded-score ties by THAT docid (reference
+# semantics).  The oracle compares in the driver's doc_id space, where the
+# same tie canonicalizes by doc_id asc — a different order whenever two
+# equal-rounded-score docs sort differently under the two identities.  The
+# adapter therefore over-fetches a tie margin, maps docno → doc_id, and
+# re-ranks canonically; any rounded-score group straddling the k boundary
+# is fully contained as long as it has ≤ TIE_MARGIN members beyond k
+# (the planted duplicate groups in the testdata are far smaller).
+TIE_MARGIN = 50
+
+
+def _docid_from_docno(res: DataFrame, k: int) -> DataFrame:
     # docno = repo:path@commit built from doc_id (docXXXXX.txt)
-    return res.select(
+    from pyspark.sql import Window
+
+    mapped = res.select(
         "qid",
         F.regexp_extract("docno", r"doc(\d+)\.txt", 1).cast("long").alias("docid"),
-        "rank", "score",
+        "score",
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", "score")
     )
 
 
@@ -130,9 +150,9 @@ def q_bm25_compressed_index(spark, sf_dir):
     decode search. Rank-identical to q_bm25_disj, shares that oracle SQL."""
     from searchenginepp_spark.operators.query import search
 
-    res = search(spark, _built_index(spark, sf_dir), QUERY_SET, k=TOP_K,
-                 scorer="bm25", stem=False)
-    return _docid_from_docno(res)
+    res = search(spark, _built_index(spark, sf_dir), QUERY_SET,
+                 k=TOP_K + TIE_MARGIN, scorer="bm25", stem=False)
+    return _docid_from_docno(res, TOP_K)
 
 
 def q_bm25_bmm_index(spark, sf_dir):
@@ -143,9 +163,10 @@ def q_bm25_bmm_index(spark, sf_dir):
     that actually runs at scale, not just the single-task degenerate."""
     from searchenginepp_spark.operators.bmm import search_bmm
 
-    res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET, k=TOP_K,
-                     scorer="bm25", stem=False, n_ranges=4)
-    return _docid_from_docno(res)
+    res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET,
+                     k=TOP_K + TIE_MARGIN, scorer="bm25", stem=False,
+                     n_ranges=4)
+    return _docid_from_docno(res, TOP_K)
 
 
 def q_bm25_bmm_ranges7(spark, sf_dir):
@@ -155,9 +176,10 @@ def q_bm25_bmm_ranges7(spark, sf_dir):
     evolves (VERDICT round 2 #8)."""
     from searchenginepp_spark.operators.bmm import search_bmm
 
-    res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET, k=TOP_K,
-                     scorer="bm25", stem=False, n_ranges=7)
-    return _docid_from_docno(res)
+    res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET,
+                     k=TOP_K + TIE_MARGIN, scorer="bm25", stem=False,
+                     n_ranges=7)
+    return _docid_from_docno(res, TOP_K)
 
 
 # ------------------------------------------- training-data pipeline ops

@@ -30,11 +30,13 @@ Environment:
                            a measurable share of a 500k 4-executor run;
                            1M amortizes them: measured executor-mode
                            efficiency 0.73 @500k → 0.86 @1M, round 3)
-  SPARK_GRAFT_SCALING_RUNS min-of-N alternating runs per config (default 2:
-                           with the 1M-doc scaling corpus the full default
-                           bench stays ~25 min; the committed
-                           measurements/*.json carry min-of-3 windows of
-                           every configuration — CLAUDE.md protocol)
+  SPARK_GRAFT_SCALING_RUNS min-of-N alternating runs per config (default 3 —
+                           VERDICT round 3 #1: the SHIPPED artifact must
+                           carry the min-of-3 protocol, not just the
+                           committed measurements/*.json windows)
+  SPARK_GRAFT_QBATCH       query-throughput batch size (default 200 — the
+                           reference's published q/s numbers are over its
+                           200-query test2020 set; 0 disables the block)
 
 Scaling evidence (BASELINE.md / north rule), two modes:
 
@@ -78,7 +80,8 @@ BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 SCALING_MODE = os.environ.get("SPARK_GRAFT_SCALING_MODE", "executor")
 SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
-SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+SCALING_RUNS = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+QBATCH = int(os.environ.get("SPARK_GRAFT_QBATCH", "200"))
 # N of the N-vs-4N pair.  Default 1 (1 vs 4 cores): the host delivers
 # ~1.95x at 2 procs but only ~6.5x at 8 (cpu probe) — a 2-vs-8 pair is
 # PHYSICALLY capped at ~0.72 efficiency on this box no matter how well the
@@ -93,6 +96,34 @@ BENCH_QUERIES = [
     (4, "sym10 sym20 sym30 sym40"),
     (5, "fn_100 static const"),
 ]
+
+
+def make_query_batch(n: int, seed: int = 13) -> list[tuple[int, str]]:
+    """Deterministic n-query workload over the synthetic corpus vocabulary —
+    the reference's throughput numbers are q/s over a 200-query set
+    (BASELINE.md table 3.2), so the bench measures at a comparable batch
+    size instead of the 5-query latency set (whose wall is dominated by the
+    ~2 s/job scheduling floor).  Mix mirrors real term-frequency spread:
+    rare symbols, mid fn_N, head code tokens, stemmable english."""
+    import random
+
+    rng = random.Random(seed)
+    head = ["int", "return", "static", "const", "void", "class"]
+    english = ["twinkle", "wonder", "world", "little", "use"]
+    out = []
+    for qid in range(1, n + 1):
+        kind = rng.random()
+        if kind < 0.4:
+            terms = [f"sym{rng.randrange(1000)}"
+                     for _ in range(rng.randint(1, 3))]
+        elif kind < 0.6:
+            terms = [f"fn_{rng.randrange(500)}", f"sym{rng.randrange(1000)}"]
+        elif kind < 0.85:
+            terms = [rng.choice(head), f"sym{rng.randrange(1000)}"]
+        else:
+            terms = rng.sample(english, rng.randint(1, 2))
+        out.append((qid, " ".join(terms)))
+    return out
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -251,6 +282,32 @@ def run_build(cores: int, n_docs: int, workdir: str,
         qt["local_warm_avg_ms"] = round(
             (time.perf_counter() - t0) / (reps * len(BENCH_QUERIES)) * 1000, 2)
         res["per_query"] = qt
+
+        if QBATCH:
+            # throughput at the reference's batch size (VERDICT round 3 #3):
+            # one Spark job per engine over QBATCH queries, plus the
+            # in-process reader looped query-at-a-time (its serving shape)
+            qb = make_query_batch(QBATCH)
+            t0 = time.perf_counter()
+            searcher.search(qb, k=10).collect()
+            exact_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            search_bmm(spark, f"{workdir}/index", qb, k=10).collect()
+            bmm_s = time.perf_counter() - t0
+            for q in qb:                         # warm the cursor cache
+                ls.search([q], k=10)
+            t0 = time.perf_counter()
+            for q in qb:
+                ls.search([q], k=10)
+            local_s = time.perf_counter() - t0
+            res["qps"] = {
+                "batch_size": QBATCH,
+                "exact_spark_qps": round(QBATCH / exact_s, 1),
+                "bmm_spark_qps": round(QBATCH / bmm_s, 1),
+                "local_warm_qps": round(QBATCH / local_s, 1),
+                "exact_s": round(exact_s, 2), "bmm_s": round(bmm_s, 2),
+                "local_s": round(local_s, 2),
+            }
         return res
     finally:
         spark.stop()
@@ -364,8 +421,43 @@ def run_scaling(executor_style: bool) -> dict | None:
     }
 
 
+def run_headline_local8() -> dict | None:
+    """A second, smaller headline at local[8] when the driver pinned a
+    different parallelism (VERDICT round 3 #7): this host delivers ~8-10
+    real cores, so the local[8] figure is the one comparable across rounds
+    whatever SPARK_GRAFT_CPUS the harness sets."""
+    if CPUS == 8:
+        return None
+    runs = []
+    tmp = tempfile.mkdtemp(prefix="sepp_bench_head8_")
+    try:
+        for i in range(min(2, BENCH_RUNS)):
+            try:
+                runs.append(_subprocess_run(8, N_DOCS, f"{tmp}/r{i}",
+                                            "headline", 0))
+            except Exception:
+                pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not runs:
+        return None
+    best = min(runs, key=lambda r: r["build_s"] + r.get("query_s", 0.0))
+    return {
+        "n_runs": len(runs),
+        "value": round(best["build_s"] + best.get("query_s", 0.0), 3),
+        "build": round(best["build_s"], 3),
+        "query_batch": round(best.get("query_s", 0.0), 3),
+        "docs_per_sec": round(best["docs_per_sec"], 1),
+        "build_phases": best.get("phases"),
+        "qps": best.get("qps"),
+        "all_runs_s": [round(r["build_s"] + r.get("query_s", 0.0), 2)
+                       for r in runs],
+    }
+
+
 def main() -> None:
     big = run_headline()
+    local8 = run_headline_local8()
     scaling = None
     scaling_exec = None
     if DO_SCALING:
@@ -401,6 +493,8 @@ def main() -> None:
         "n_docs": N_DOCS,
         "headline_all_runs_s": big.get("all_runs"),
         "headline_all_build_s": big.get("all_build_s"),
+        "headline_local8": local8,
+        "queries_per_sec": big.get("qps"),
         "build_phases": big.get("phases"),
         "scaling": scaling,
         "scaling_executor": scaling_exec,
@@ -427,7 +521,7 @@ if __name__ == "__main__":
                       fixed_parallelism=fixed)
         slim = {"build_s": r["build_s"], "docs_per_sec": r["docs_per_sec"],
                 "phases": r["phases"], "cpu_s": r["cpu_s"]}
-        for k in ("query_s", "per_query", "index_size"):
+        for k in ("query_s", "per_query", "index_size", "qps"):
             if k in r:
                 slim[k] = r[k]
         print(json.dumps(slim))

@@ -152,6 +152,24 @@ _CACHE_CAP = 1_000_000
 _caches: dict[bool, dict] = {True: {}, False: {}}
 _shared_stemmer = MemoStemmer()
 
+# str.split() (no separator) is ~4x faster than the _WS_SPLIT_RE regex, but
+# it splits on EVERY Unicode whitespace codepoint while the reference splits
+# only on the C-locale istream set [ \t\n\v\f\r].  Bridge: the fast translate
+# table additionally maps every "exotic" whitespace codepoint (isspace() but
+# not in the reference set) to one private-use sentinel; documents whose
+# translated text contains the sentinel (or contain U+E000 themselves) —
+# vanishingly rare in practice — take the exact regex path.  Sentinel-free
+# documents split identically under both (str.split also drops the empty
+# tokens the regex path emits at boundaries).
+_WS_SENTINEL = "\ue000"
+_EXOTIC_WS = [
+    chr(cp) for cp in range(0x110000)
+    if chr(cp).isspace() and chr(cp) not in " \t\n\x0b\x0c\r"
+]
+_PUNCT_WS_TRANSLATE = _PUNCT_TRANSLATE | {
+    ord(c): _WS_SENTINEL for c in _EXOTIC_WS
+}
+
 
 def _resolve_token(tok: str, stem: bool) -> str:
     cache = _caches[stem]
@@ -169,7 +187,11 @@ def _resolve_token(tok: str, stem: bool) -> str:
 def term_frequencies_fast(text: str, stem: bool = True) -> Counter[str]:
     """Cached-vocabulary term_frequencies — identical output to
     term_frequencies, built for the Arrow UDF hot loop."""
-    toks = _WS_SPLIT_RE.split(text.translate(_PUNCT_TRANSLATE))
+    tr = text.translate(_PUNCT_WS_TRANSLATE)
+    if _WS_SENTINEL in tr:       # exotic whitespace / literal U+E000: exact path
+        toks = _WS_SPLIT_RE.split(text.translate(_PUNCT_TRANSLATE))
+    else:
+        toks = tr.split()
     cache = _caches[stem]
     got = list(map(cache.get, toks))            # C loop; None = miss
     if None in got:

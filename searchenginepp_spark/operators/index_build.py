@@ -36,12 +36,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from searchenginepp_spark.config import (
-    BM25_B, BM25_K1, SKIP_BLOCK_SIZE,
+    BM25_B, BM25_K1, DOCID_START, SKIP_BLOCK_SIZE,
 )
 from searchenginepp_spark.functions.codecs import (
     delta_encode, unary_encode, unary_value_bit_offsets, varbyte_encode,
@@ -109,7 +109,13 @@ def explode_postings(corpus: DataFrame, stem: bool = True) -> DataFrame:
     The build hot path: mapInArrow (no pandas Series of 10^7 Python strings
     — term/tf columns are built directly as Arrow arrays at C speed, docid/
     doclen via np.repeat), tokenizing each doc with the worker-persistent
-    vocabulary cache."""
+    vocabulary cache.
+
+    tf/doclen are int32 (both bounded by tokens-per-document << 2^31):
+    postings are the highest-volume intermediate of the whole build, and the
+    narrower columns shrink the Python→JVM Arrow leg, the postings persist,
+    and the downstream (term,salt) shuffle; docid stays int64 (10^12 docs).
+    Consumers that need a long (staged-postings public schema) cast up."""
     import pyarrow as pa
 
     from searchenginepp_spark.functions.normalizer import term_frequencies_fast
@@ -121,7 +127,7 @@ def explode_postings(corpus: DataFrame, stem: bool = True) -> DataFrame:
             terms: list[str] = []
             tfs: list[int] = []
             n_per = np.empty(len(contents), dtype=np.int64)
-            dl_per = np.empty(len(contents), dtype=np.int64)
+            dl_per = np.empty(len(contents), dtype=np.int32)
             for i, content in enumerate(contents):
                 c = term_frequencies_fast(
                     content if content is not None else "", stem)
@@ -132,12 +138,12 @@ def explode_postings(corpus: DataFrame, stem: bool = True) -> DataFrame:
             yield pa.record_batch(
                 [pa.array(terms, pa.string()),
                  pa.array(np.repeat(docid_np, n_per)),
-                 pa.array(tfs, pa.int64()),
+                 pa.array(tfs, pa.int32()),
                  pa.array(np.repeat(dl_per, n_per))],
                 names=["term", "docid", "tf", "doclen"])
 
     return corpus.select("docid", "content").mapInArrow(
-        gen, schema="term string, docid long, tf long, doclen long")
+        gen, schema="term string, docid long, tf int, doclen int")
 
 
 def build_postings(tokenized: DataFrame) -> DataFrame:
@@ -216,12 +222,18 @@ _SHARD_SCHEMA = StructType([
     StructField("skips", SKIP_FIELD),
 ])
 
+# dict transfer mode: the encoder emits int32 term_ids; the term string is
+# restored by a broadcast join against the vocab before anything persists.
+_SHARD_SCHEMA_ID = StructType(
+    [StructField("term_id", IntegerType())] + list(_SHARD_SCHEMA.fields[1:]))
 
-def _encode_one(term: str, salt: int, docids_in, tfs, doclens_in,
-                block_size: int, avgdl: float) -> dict:
+
+def _encode_one(term, salt: int, docids_in, tfs, doclens_in,
+                block_size: int, avgdl: float, key: str = "term") -> dict:
     """Encode ONE (term, salt) posting group (docid-sorted numpy slices)
     into a compressed index row with fused skip pointers and idf-free
-    score-part maxima."""
+    score-part maxima.  `term` is the group key value — the term string in
+    row mode, the int32 term_id in dict mode (emitted under `key`)."""
     docids = docids_in.astype(np.uint64)
     doclens = doclens_in.astype(np.uint64)
     n = docids.size
@@ -250,7 +262,7 @@ def _encode_one(term: str, salt: int, docids_in, tfs, doclens_in,
         for bs, be in zip(bstarts, bends)
     ]
     return {
-        "term": term,
+        key: term,
         "shard": int(salt),
         "df_shard": int(n),
         "first_docid": int(docids[0]),
@@ -266,23 +278,25 @@ def _encode_one(term: str, salt: int, docids_in, tfs, doclens_in,
 
 
 def _encode_groups(terms, salts_np, docids_np, tfs_np, dl_np, change,
-                   block_size: int, avgdl: float) -> list[dict]:
+                   block_size: int, avgdl: float,
+                   key: str = "term") -> list[dict]:
     """Encode a run of complete (term, salt) groups (rows already sorted by
     (term, salt, docid) by the JVM) into compressed index rows.
 
-    `terms` is a pyarrow StringArray — only ONE string per group is ever
-    materialized into Python (`terms[s].as_py()`); `change` holds the
-    precomputed group-start offsets."""
+    `terms` is a pyarrow array (strings in row mode, int32 ids in dict
+    mode) — only ONE value per group is ever materialized into Python
+    (`terms[s].as_py()`); `change` holds the precomputed group-start
+    offsets."""
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(salts_np)]))
     return [
         _encode_one(terms[s].as_py(), salts_np[s], docids_np[s:e],
-                    tfs_np[s:e], dl_np[s:e], block_size, avgdl)
+                    tfs_np[s:e], dl_np[s:e], block_size, avgdl, key=key)
         for s, e in zip(starts, ends)
     ]
 
 
-def _pa_shard_schema():
+def _pa_shard_schema(key_field: tuple | None = None):
     import pyarrow as pa
 
     pa_skip = pa.list_(pa.struct([
@@ -292,7 +306,7 @@ def _pa_shard_schema():
         ("bm25_part_ub", pa.float64()), ("tfidf_part_ub", pa.float64()),
     ]))
     return pa.schema([
-        ("term", pa.string()), ("shard", pa.int64()),
+        key_field or ("term", pa.string()), ("shard", pa.int64()),
         ("df_shard", pa.int64()), ("first_docid", pa.int64()),
         ("last_docid", pa.int64()), ("docid_blob", pa.binary()),
         ("tf_blob", pa.binary()), ("doclen_blob", pa.binary()),
@@ -307,7 +321,8 @@ def build_index_shards(postings: DataFrame, avgdl: float,
                        num_partitions: int | None = None,
                        block_size: int = SKIP_BLOCK_SIZE,
                        heavy: DataFrame | None = None,
-                       transfer: str = "row") -> DataFrame:
+                       transfer: str = "row",
+                       vocab: DataFrame | None = None) -> DataFrame:
     """The one wide shuffle: postings → compressed per-(term,shard) index
     rows with fused skip pointers and σ-part maxima.
 
@@ -324,6 +339,18 @@ def build_index_shards(postings: DataFrame, avgdl: float,
          column — only one Python string per GROUP is ever materialized;
          int columns reach numpy zero-copy.  Numpy codecs, zero Python
          sorting, zero second pass.
+
+    transfer="dict" dictionary-encodes the term to a dense int32 term_id
+    (broadcast map-side join, no extra shuffle) BEFORE step 2, so the
+    shuffle wire, sort keys, and the JVM→Python Arrow leg carry 4-byte ints
+    instead of strings, and the encoder materializes ZERO Python strings;
+    the string is restored by broadcast-joining the tiny output rows
+    against the vocab (term_ids are term-sort-ordered, so the restored
+    table stays term-clustered for parquet pruning).  Pass `vocab` (term,
+    term_id from term_vocab) to reuse an existing dictionary — REQUIRED to
+    cover every term (inner join); without it one is derived from the
+    postings.  Applicability bound: the vocab must fit a broadcast
+    (build_index auto-selects dict only below dict_max_vocab terms).
 
     transfer="group" replaces steps 2-3 with a JVM collect_list aggregation:
     groupBy(term, salt) → array_sort → one array<struct> row per group →
@@ -356,6 +383,9 @@ def build_index_shards(postings: DataFrame, avgdl: float,
     )
     if transfer == "group":
         return _build_shards_grouped(salted, block_size, avgdl)
+    if transfer == "dict":
+        return _build_shards_dict(salted, block_size, avgdl,
+                                  num_partitions, vocab)
     if transfer != "row":
         raise ValueError(f"unknown transfer mode: {transfer}")
 
@@ -373,32 +403,43 @@ def build_index_shards(postings: DataFrame, avgdl: float,
         .repartition(n_parts, "term", "salt")
         .sortWithinPartitions("term", "salt", "docid")
     )
+    encode_stream = _make_encode_stream("term", "term", _pa_shard_schema(),
+                                        block_size, avgdl)
+    return arranged.mapInArrow(encode_stream, schema=_SHARD_SCHEMA)
 
+
+def _make_encode_stream(key_name: str, out_key: str, pa_shard,
+                        block_size: int, avgdl: float):
+    """The streaming group encoder shared by the row and dict transfer
+    modes: consume (key, salt, docid, tf, doclen) Arrow batches sorted by
+    (key, salt, docid), emit one compressed index row per complete group
+    (carry-over buffer for groups spanning batches).  Group boundaries come
+    from pyarrow compute on the raw key column — only ONE key value per
+    GROUP is ever materialized into Python; int columns reach numpy
+    zero-copy."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    pa_shard = _pa_shard_schema()
-
     def columns(tbl: pa.Table):
-        terms = tbl.column("term").combine_chunks()
-        if isinstance(terms, pa.ChunkedArray):
-            terms = (terms.chunk(0) if terms.num_chunks
-                     else pa.array([], pa.string()))
+        keys = tbl.column(key_name).combine_chunks()
+        if isinstance(keys, pa.ChunkedArray):
+            keys = (keys.chunk(0) if keys.num_chunks
+                    else pa.array([], tbl.schema.field(key_name).type))
         salts = tbl.column("salt").to_numpy(zero_copy_only=False)
         docids = tbl.column("docid").to_numpy(zero_copy_only=False)
         tfs = tbl.column("tf").to_numpy(zero_copy_only=False)
         dls = tbl.column("doclen").to_numpy(zero_copy_only=False)
-        return terms, salts, docids, tfs, dls
+        return keys, salts, docids, tfs, dls
 
     def emit(tbl: pa.Table) -> pa.RecordBatch:
-        terms, salts, docids, tfs, dls = columns(tbl)
+        keys, salts, docids, tfs, dls = columns(tbl)
         n = len(salts)
-        term_ne = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
+        key_ne = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
         change = np.flatnonzero(
-            term_ne.to_numpy(zero_copy_only=False)
+            key_ne.to_numpy(zero_copy_only=False)
             | (salts[1:] != salts[:-1])) + 1
-        rows = _encode_groups(terms, salts, docids, tfs, dls, change,
-                              block_size, avgdl)
+        rows = _encode_groups(keys, salts, docids, tfs, dls, change,
+                              block_size, avgdl, key=out_key)
         return pa.RecordBatch.from_pylist(rows, schema=pa_shard)
 
     def encode_stream(batches):
@@ -409,11 +450,11 @@ def build_index_shards(postings: DataFrame, avgdl: float,
                 tbl = pa.concat_tables([buf, tbl])
             if not len(tbl):
                 continue
-            # rows are (term, salt)-sorted: the final group is a contiguous
+            # rows are (key, salt)-sorted: the final group is a contiguous
             # tail — hold it back, it may continue in the next batch
-            terms = tbl.column("term")
+            keys = tbl.column(key_name)
             salts = tbl.column("salt")
-            eq = pc.and_(pc.equal(terms, terms[-1]), pc.equal(salts, salts[-1]))
+            eq = pc.and_(pc.equal(keys, keys[-1]), pc.equal(salts, salts[-1]))
             tail = int(pc.sum(eq).as_py())
             cut = len(tbl) - tail
             buf = tbl.slice(cut)
@@ -422,7 +463,76 @@ def build_index_shards(postings: DataFrame, avgdl: float,
         if buf is not None and len(buf):
             yield emit(buf)
 
-    return arranged.mapInArrow(encode_stream, schema=_SHARD_SCHEMA)
+    return encode_stream
+
+
+def term_vocab(terms: DataFrame, num_partitions: int | None = None,
+               return_handle: bool = False):
+    """(term, term_id int32) dictionary over a UNIQUE-term DataFrame (e.g.
+    the per-term df aggregation), ids dense and assigned in LEXICOGRAPHIC
+    term order — so a term_id sort IS a term sort and the dict transfer
+    mode preserves the term-clustered parquet layout (row-group min/max
+    pruning on term).
+
+    The input may carry extra columns (e.g. a precomputed df) — they pass
+    through.  Distributed id assignment reuses the docid machinery
+    (range-partition + per-partition counts + cumsum offsets); with
+    return_handle=True the caller gets the persist handle backing BOTH
+    downstream consumers (the postings join and the shard-row join) and
+    unpersists it after its terminal action."""
+    out, handle = assign_docids(terms, order_cols=("term",),
+                                num_partitions=num_partitions,
+                                return_handle=True)
+    vocab = out.withColumn(
+        "term_id", (F.col("docid") - F.lit(DOCID_START)).cast("int")
+    ).drop("docid")
+    if return_handle:
+        return vocab, handle
+    return vocab
+
+
+def _build_shards_dict(salted: DataFrame, block_size: int, avgdl: float,
+                       num_partitions: int | None,
+                       vocab: DataFrame | None) -> DataFrame:
+    """transfer="dict" encode path (see build_index_shards docstring): the
+    term string is dictionary-encoded to a dense int32 term_id BEFORE the
+    wide shuffle — a broadcast-hash map-side join, no extra shuffle — so
+    the repartition wire, the Tungsten sort keys, and the JVM→Python Arrow
+    leg all carry 4-byte ints instead of term strings (the measured
+    residual cost of the encode stage, CLAUDE.md).  The encoder never
+    materializes a single Python string; the term string is restored by
+    broadcast-joining the per-(term,shard) OUTPUT rows (|vocab|-scale, tiny
+    next to postings) against the vocab.  term_ids are assigned in term
+    sort order, so the restored rows stay term-clustered for parquet
+    row-group pruning."""
+    import pyarrow as pa
+
+    if vocab is None:
+        # no caller-provided dictionary: derive it from the postings
+        # themselves.  NOTE: left unpersisted — the distinct() recomputes
+        # once per downstream join; callers on the hot path (build_index)
+        # pass a vocab backed by their own persisted lexicon instead.
+        vocab = term_vocab(salted.select("term").distinct())
+    vocab = vocab.select("term", "term_id")
+    n_parts = (num_partitions
+               or salted.sparkSession.sparkContext.defaultParallelism)
+    arranged = (
+        salted.join(F.broadcast(vocab), "term")
+        .select("term_id",
+                F.col("salt").cast("int").alias("salt"),
+                "docid",
+                F.col("tf").cast("int").alias("tf"),
+                F.col("doclen").cast("int").alias("doclen"))
+        .repartition(n_parts, "term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "docid")
+    )
+    encode_stream = _make_encode_stream(
+        "term_id", "term_id", _pa_shard_schema(("term_id", pa.int32())),
+        block_size, avgdl)
+    encoded = arranged.mapInArrow(encode_stream, schema=_SHARD_SCHEMA_ID)
+    final_cols = [f.name for f in _SHARD_SCHEMA.fields]
+    return (encoded.join(F.broadcast(vocab), "term_id")
+            .select(*final_cols))
 
 
 def _build_shards_grouped(salted: DataFrame, block_size: int,
@@ -515,7 +625,41 @@ def index_size_report(spark: SparkSession, paths: "IndexPaths") -> dict:
 
 class IndexPaths:
     """On-disk layout of one index build (all parquet; the production sink
-    is an Iceberg catalog — same tables, sorted+bucketed by term)."""
+    is an Iceberg catalog — same tables, sorted+bucketed by term).
+
+    Iceberg mapping (no Iceberg jars ship in this environment, so plain
+    parquet directories + JSON manifests stand in; the port is mechanical —
+    each hand-rolled piece below is exactly one Iceberg feature):
+
+      layout piece                      Iceberg equivalent
+      --------------------------------  ----------------------------------
+      index_shards/ docmap/ lexicon/    tables in one namespace; shards
+        stats/ parquet dirs               with WRITE ORDERED BY (term,
+                                          shard) + bucket(term) partition
+      directory-per-build root          a snapshot; "switch the root" =
+                                          atomic snapshot swap / tag move
+      manifest/build_manifest.json      snapshot summary properties
+                                          (sampling lineage, salting,
+                                          transfer mode, vocab size)
+      manifest/folded_batches.json      snapshot lineage: which staged
+        (streaming/incremental.py)        batches a snapshot contains —
+                                          Iceberg gives this via snapshot
+                                          parent ids + append metadata
+      index_merge's metadata-only       MERGE/REWRITE with only metadata
+        merge (docid-rebased rows,        changes — Iceberg rewrite_files
+        blobs untouched)                  without data rewrite
+      refresh_index delta fold          an APPEND snapshot of the delta
+                                          segment's files
+      auto_compact_segments             Iceberg maintenance compaction
+                                          (rewrite_data_files) on a
+                                          fragmentation trigger
+      overwrite-then-read dirs          Iceberg's atomic commit protocol
+                                          (here: per-dir overwrite +
+                                          _SUCCESS markers)
+
+    Queries only ever read through these paths, so pointing them at
+    Iceberg-backed tables changes spark.read.parquet → spark.read.table
+    and deletes the JSON manifest code."""
 
     def __init__(self, root: str):
         self.root = root
@@ -583,7 +727,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                 block_size: int = SKIP_BLOCK_SIZE,
                 sample_docs_target: int = 100_000,
                 timings: dict | None = None,
-                cache_postings: bool = True) -> IndexPaths:
+                cache_postings: bool = True,
+                transfer: str = "auto",
+                dict_max_vocab: int = 4_000_000) -> IndexPaths:
     """Full build: corpus (repo,path,commit,lang,content) → persisted index.
 
     Writes: index_shards (term-sorted for row-group skipping), docmap,
@@ -601,6 +747,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
     cache_postings=False: the memory-light two-pass variant (tokenize for
     docmap, tokenize for postings) with file-level df sampling — for hosts
     where the postings table can't be cached.
+
+    transfer="auto" picks the encode transfer mode (build_index_shards
+    docstring): "dict" when the exact vocabulary is in hand (cached
+    postings) and small enough to broadcast (≤ dict_max_vocab terms —
+    4M terms ≈ tens of MB broadcast), else "row".  Explicit
+    "row"/"dict"/"group" overrides.
     """
     import time
 
@@ -619,7 +771,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
         return _build_index_passes(spark, corpus, paths, stem, salt_target,
                                    term_partitions, block_size,
                                    sample_docs_target, src_files=src_files,
-                                   timings=t, cache_postings=cache_postings)
+                                   timings=t, cache_postings=cache_postings,
+                                   transfer=transfer,
+                                   dict_max_vocab=dict_max_vocab)
     finally:
         if cache_handle is not None:
             cache_handle.unpersist()
@@ -630,7 +784,9 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                         sample_docs_target: int = 100_000,
                         src_files: list[str] | None = None,
                         timings: dict | None = None,
-                        cache_postings: bool = True) -> IndexPaths:
+                        cache_postings: bool = True,
+                        transfer: str = "auto",
+                        dict_max_vocab: int = 4_000_000) -> IndexPaths:
     # Default path (cache_postings=True): tokenize ONCE — exploded postings
     # persist to memory+disk; docmap doclens are a per-docid first() agg
     # over the cache and heavy-term df is EXACT from the cache (the sample
@@ -692,19 +848,27 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
 
     heavy = None
     heavy_rows: list = []
+    vocab = None
+    vocab_handle = None
+    n_vocab = None
     if postings_cache is not None:
         postings = postings_cache
         # exact df from the cache — no tokenize, no sampling error; the
-        # agg's map-side combine reduces to |vocab| rows before the shuffle
+        # agg's map-side combine reduces to |vocab| rows before the shuffle.
+        # The SAME agg, persisted through term_vocab's id assignment, then
+        # serves heavy-term detection, the global lexicon write, and (in
+        # dict transfer mode) the term dictionary — one pass, three uses.
         sample_meta = {"mode": "exact_cached_postings", "frac": 1.0}
+        lex = postings_cache.groupBy("term").agg(F.count("*").alias("df"))
+        vocab, vocab_handle = term_vocab(lex, return_handle=True)
         heavy_rows = (
-            postings_cache.groupBy("term").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > salt_target)
+            vocab.filter(F.col("df") > salt_target)
             .withColumn("n_buckets",
                         F.ceil(F.col("df") / F.lit(salt_target)).cast("long"))
             .select("term", "n_buckets")
             .collect()                    # head terms only — tiny
         )
+        n_vocab = vocab.count()           # served from the persist
     else:
         postings = explode_postings(corpus, stem=stem)
         # heavy-term detection without the cache: a sample estimates df for
@@ -737,6 +901,12 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         # fallback per-term df agg inside build_index_shards
         heavy = spark.createDataFrame([], "term string, n_buckets long")
 
+    if transfer == "auto":
+        # dict pays off whenever the exact vocab is in hand and fits a
+        # broadcast; row is the universal fallback (unbounded vocabularies)
+        transfer = ("dict" if n_vocab is not None and n_vocab <= dict_max_vocab
+                    else "row")
+
     import json
     import os
 
@@ -746,6 +916,7 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                    "term_partitions": term_partitions,
                    "salt_target": salt_target, "block_size": block_size,
                    "sampling": sample_meta,
+                   "transfer": transfer, "n_vocab": n_vocab,
                    "n_heavy_terms": len(heavy_rows),
                    "heavy_terms": sorted(r["term"] for r in heavy_rows)},
                   f, indent=1, sort_keys=True)
@@ -755,17 +926,25 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
     shards = build_index_shards(postings, float(avgdl),
                                 salt_target=salt_target,
                                 num_partitions=term_partitions,
-                                block_size=block_size, heavy=heavy)
+                                block_size=block_size, heavy=heavy,
+                                transfer=transfer,
+                                vocab=(vocab if transfer == "dict" else None))
     # rows leave the encoder already (term, shard)-sorted per partition →
     # parquet row-group min/max stats prune on term; write once, derive the
     # global lexicon from the written table's tiny (term, df_shard) columns
+    # (or, when the exact per-term df is already persisted, from that)
     shards.write.mode("overwrite").parquet(paths.shards)
     if postings_cache is not None:
         postings_cache.unpersist()
     t["encode"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    (spark.read.parquet(paths.shards)
-     .groupBy("term").agg(F.sum("df_shard").alias("df"))
-     .write.mode("overwrite").parquet(paths.lexicon))
+    if vocab is not None:
+        vocab.select("term", "df").write.mode("overwrite").parquet(
+            paths.lexicon)
+        vocab_handle.unpersist()
+    else:
+        (spark.read.parquet(paths.shards)
+         .groupBy("term").agg(F.sum("df_shard").alias("df"))
+         .write.mode("overwrite").parquet(paths.lexicon))
     t["lexicon"] = round(time.perf_counter() - t0, 3)
     return paths

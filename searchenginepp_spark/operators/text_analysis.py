@@ -107,11 +107,17 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         ratio(F.col("tok_chars"),
               F.col("n_ws_tokens").cast("double")).alias("avg_token_len"),
     ).withColumn(
+        # round to 7, not 6: the blend of 6-dp ratios with 0.4/0.3/0.3
+        # weights is an EXACT 7-dp decimal, so a 6-dp round sits on the
+        # half-way boundary whenever the 7th digit is 5 and Spark/DuckDB
+        # float summation order decides the coin flip (observed in the
+        # wild); at 7 dp the true value is on the rounding grid and both
+        # engines land on the identical double.
         "quality",
         F.round(F.lit(0.4) * F.col("alpha_ratio")
                 + F.lit(0.3) * (F.lit(1.0) - F.col("stopword_ratio"))
                 + F.lit(0.3) * F.least(F.col("n_ws_tokens") / F.lit(100.0),
-                                       F.lit(1.0)), 6),
+                                       F.lit(1.0)), 7),
     )
 
 

@@ -334,7 +334,7 @@ WITH base AS (
 SELECT docid, n_ws_tokens, alpha_ratio, punct_ratio, stopword_ratio,
        avg_token_len,
        ROUND(0.4 * alpha_ratio + 0.3 * (1.0 - stopword_ratio)
-             + 0.3 * least(n_ws_tokens / 100.0, 1.0), 6) AS quality
+             + 0.3 * least(n_ws_tokens / 100.0, 1.0), 7) AS quality
 FROM r"""
 
 

@@ -107,8 +107,13 @@ def _stage_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
         # orphaned postings dir from a crash before the docmap write is
         # harmless: its batch id is never listed as committed, and the
         # stream replay overwrites it.
-        explode_postings(prepared, stem=stem).select(*_POSTING_COLS).write.mode(
-            "overwrite").parquet(f"{staging.postings}/batch={batch_id}")
+        # tf/doclen cast up: explode emits int32 for transfer economy, but
+        # the staged-postings PUBLIC schema stays long so batch dirs written
+        # by any library version read together
+        (explode_postings(prepared, stem=stem)
+         .select("term", "docid", F.col("tf").cast("long").alias("tf"),
+                 F.col("doclen").cast("long").alias("doclen"))
+         .write.mode("overwrite").parquet(f"{staging.postings}/batch={batch_id}"))
         (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
          .select(*_DOCMAP_COLS)
          .write.mode("overwrite").parquet(f"{staging.docmap}/batch={batch_id}"))

@@ -189,6 +189,43 @@ def test_grouped_transfer_encodes_identically(spark):
                                    salt_target=64, block_size=16))
     grp = canon(build_index_shards(postings, float(avgdl), salt_target=64,
                                    block_size=16, transfer="group"))
+    dct = canon(build_index_shards(postings, float(avgdl), salt_target=64,
+                                   block_size=16, transfer="dict"))
     postings.unpersist()
     assert row == grp
+    assert row == dct
     assert len(row) > 200       # salting + multi-term corpus actually engaged
+
+
+def test_dict_transfer_end_to_end_and_auto_mode(spark, tmp_path):
+    """build_index(transfer="auto") must pick the dict path for a
+    broadcastable vocab (recorded in the build manifest), produce a
+    term-readable shard table, and answer queries identically to a forced
+    row-mode build."""
+    import json
+
+    from searchenginepp_spark.operators.index_build import build_index
+    from searchenginepp_spark.operators.query import search
+
+    corpus = synthesize_corpus(spark, 300)
+    auto_root = str(tmp_path / "auto")
+    row_root = str(tmp_path / "row")
+    build_index(spark, corpus, auto_root, salt_target=64, block_size=16)
+    build_index(spark, corpus, row_root, salt_target=64, block_size=16,
+                transfer="row")
+    with open(f"{auto_root}/manifest/build_manifest.json") as f:
+        m = json.load(f)
+    assert m["transfer"] == "dict" and m["n_vocab"] > 0
+    queries = [(1, "sym1 sym2"), (2, "int return"), (3, "fn_1 sym5")]
+    got = sorted((r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+                 for r in search(spark, auto_root, queries, k=10).collect())
+    want = sorted((r["qid"], r["docid"], r["rank"], round(r["score"], 6))
+                  for r in search(spark, row_root, queries, k=10).collect())
+    assert got == want and got
+    # lexicon df invariant: exact per-term df == sum of shard dfs
+    lex = {r["term"]: r["df"]
+           for r in spark.read.parquet(f"{auto_root}/global_lexicon").collect()}
+    shard_df = {r["term"]: r["s"] for r in
+                spark.read.parquet(f"{auto_root}/index_shards")
+                .groupBy("term").agg(F.sum("df_shard").alias("s")).collect()}
+    assert lex == shard_df

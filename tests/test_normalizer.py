@@ -124,6 +124,15 @@ def test_term_frequencies_fast_parity():
         "queries querying queried query",           # stem merges
         "word" + "—" + "joined",               # 3-byte punct splits
         "mixed    spacing\tand\nnewlines\x0cfeed",
+        # exotic whitespace: str.split() would split on these, the
+        # reference's istream set does NOT — they must stay inside tokens
+        # (the fast path's sentinel check routes these docs to the exact
+        # regex splitter)
+        "glued\x85together stays\xa0one tok en",
+        "file\x1csep \x1d\x1e\x1f group",
+        "ideographic　space and thin",
+        "literalsentinel in doc",             # PUA char in input text
+        "   \x85",                       # sentinel + exotic only
     ]
     for text in cases:
         for stem in (True, False):
