@@ -237,6 +237,17 @@ def q_sim_cosine_topk(spark, sf_dir):
     return cosine_topk(_embeddings(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K)
 
 
+IVF_CENTROIDS = 8    # 500-2000 vectors in the testdata → ~sqrt(N) coarse
+IVF_PROBE = 3        # buckets; 3-probe keeps recall high at this tiny SF
+
+
+def q_sim_ivf_ann_topk(spark, sf_dir):
+    from searchenginepp_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_embeddings(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K,
+                        n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
+
+
 def q_sim_lsh_ann_topk(spark, sf_dir):
     from searchenginepp_spark.operators.similarity import lsh_ann_topk
 
@@ -389,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
+        "sim_ivf_ann_topk": q_sim_ivf_ann_topk,
         "sim_embedding_near_dup": q_sim_embedding_near_dup,
         "text_token_counts": q_text_token_counts,
         "text_quality_scores": q_text_quality,
@@ -419,6 +431,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_cosine_topk": opipe.sql_cosine_topk(SIM_QUERY_IDS, k=SIM_K),
         "sim_lsh_ann_topk": opipe.sql_lsh_ann_topk(SIM_QUERY_IDS, EMB_DIMS,
                                                    k=SIM_K),
+        "sim_ivf_ann_topk": opipe.sql_ivf_ann_topk(
+            SIM_QUERY_IDS, k=SIM_K, n_centroids=IVF_CENTROIDS,
+            n_probe=IVF_PROBE),
         "sim_embedding_near_dup": opipe.sql_embedding_near_dup(
             EMB_DIMS, threshold=NEAR_DUP_COS, n_bands=NEAR_DUP_BANDS,
             n_rows=NEAR_DUP_ROWS),

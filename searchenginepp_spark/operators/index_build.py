@@ -467,7 +467,7 @@ def _make_encode_stream(key_name: str, out_key: str, pa_shard,
 
 
 def term_vocab(terms: DataFrame, num_partitions: int | None = None,
-               return_handle: bool = False):
+               return_handle: bool = False, stats: dict | None = None):
     """(term, term_id int32) dictionary over a UNIQUE-term DataFrame (e.g.
     the per-term df aggregation), ids dense and assigned in LEXICOGRAPHIC
     term order — so a term_id sort IS a term sort and the dict transfer
@@ -482,7 +482,7 @@ def term_vocab(terms: DataFrame, num_partitions: int | None = None,
     unpersists it after its terminal action."""
     out, handle = assign_docids(terms, order_cols=("term",),
                                 num_partitions=num_partitions,
-                                return_handle=True)
+                                return_handle=True, stats=stats)
     vocab = out.withColumn(
         "term_id", (F.col("docid") - F.lit(DOCID_START)).cast("int")
     ).drop("docid")
@@ -860,7 +860,9 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         # dict transfer mode) the term dictionary — one pass, three uses.
         sample_meta = {"mode": "exact_cached_postings", "frac": 1.0}
         lex = postings_cache.groupBy("term").agg(F.count("*").alias("df"))
-        vocab, vocab_handle = term_vocab(lex, return_handle=True)
+        vstats: dict = {}
+        vocab, vocab_handle = term_vocab(lex, return_handle=True,
+                                         stats=vstats)
         heavy_rows = (
             vocab.filter(F.col("df") > salt_target)
             .withColumn("n_buckets",
@@ -868,7 +870,7 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
             .select("term", "n_buckets")
             .collect()                    # head terms only — tiny
         )
-        n_vocab = vocab.count()           # served from the persist
+        n_vocab = vstats["n_rows"]        # from the id-assignment count job
     else:
         postings = explode_postings(corpus, stem=stem)
         # heavy-term detection without the cache: a sample estimates df for

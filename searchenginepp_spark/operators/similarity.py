@@ -116,6 +116,112 @@ def lsh_ann_topk(embeddings: DataFrame, dims: int, query_ids: list[int],
     )
 
 
+def ivf_centroid_ids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """(centroid_id, vec_id) — the IVF coarse quantizer's centroid set: the
+    n_centroids vectors whose md5(vec_id) hex sorts smallest, numbered in
+    that order.  A deterministic pseudo-random sample instead of iterative
+    k-means, so the WHOLE IVF path is reproducible in plain SQL and the
+    DuckDB oracle gates it end-to-end; at production scale swap these rows
+    for trained k-means centroids (pyspark.ml KMeans) — the assignment and
+    probe plans below are unchanged, only this seed table differs.
+
+    Plan note: orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition partial top-n, merged on the driver) — the selection is
+    distributed; only the n_centroids surviving rows pass through the
+    numbering window."""
+    top = (embeddings
+           .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+           .orderBy("h", "vec_id").limit(n_centroids))
+    w = Window.orderBy("h", "vec_id")        # n_centroids rows only
+    return (
+        top.withColumn("centroid_id", F.row_number().over(w).cast("long"))
+        .select("centroid_id", "vec_id")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
+               round_to: int = 6) -> DataFrame:
+    """(vec_id, centroid_id) — every vector assigned to its nearest
+    centroid by rounded cosine (ties: centroid_id asc).
+
+    Plan: the centroid table is n_centroids rows → broadcast; assignment is
+    ONE pass over N with a small cross join (N × n_centroids rows in the
+    map stage, collapsed by the per-vec window) — no shuffle of the
+    embedding column beyond the window's hash partition on vec_id."""
+    cents = (
+        ivf_centroid_ids(embeddings, n_centroids)
+        .join(with_norm(embeddings).select(
+            "vec_id", _emb().alias("ce"), F.col("norm").alias("cnorm")),
+            "vec_id")
+        .select("centroid_id", "ce", "cnorm")
+    )
+    base = with_norm(embeddings).select("vec_id", _emb().alias("e"), "norm")
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_dot(F.col("e"), F.col("ce"))
+                        / (F.col("norm") * F.col("cnorm")), round_to))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"),
+                                             F.asc("centroid_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 round_to: int = 6) -> DataFrame:
+    """(query_id, vec_id, rank, cosine) — IVF-flat approximate top-k: each
+    query probes its n_probe nearest centroids and exact-cosine re-ranks
+    only the vectors ASSIGNED to those centroids (self excluded).
+
+    The classic inverted-file ANN shape: candidate work per query is
+    ~n_probe/n_centroids of N instead of N, recall grows with n_probe, and
+    n_probe = n_centroids degenerates to the exact brute-force answer
+    (pinned by test).  At 100 TB the assignment table is the partition key:
+    cluster/bucket the vector table BY centroid_id so a probe reads only
+    its centroids' buckets (partition pruning), and size n_centroids ≈
+    sqrt(N) to balance probe count against bucket size."""
+    assign = ivf_assign(embeddings, n_centroids, round_to)
+    cents = (
+        ivf_centroid_ids(embeddings, n_centroids)
+        .join(with_norm(embeddings).select(
+            "vec_id", _emb().alias("ce"), F.col("norm").alias("cnorm")),
+            "vec_id")
+        .select("centroid_id", "ce", "cnorm")
+    )
+    base = with_norm(embeddings).select("vec_id", _emb().alias("e"), "norm")
+    q = (base.filter(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qe"), F.col("norm").alias("qnorm")))
+    # probe list: per query, the n_probe nearest centroids (rounded cosine)
+    qprobe = q.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", F.round(_dot(F.col("qe"), F.col("ce"))
+                        / (F.col("qnorm") * F.col("cnorm")), round_to))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"),
+                                                F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "centroid_id", "qe", "qnorm")
+    )
+    cand = base.join(assign, "vec_id")
+    scored = (
+        cand.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(_dot(F.col("e"), F.col("qe"))
+                            / (F.col("norm") * F.col("qnorm")), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
 def lsh_band_buckets(embeddings: DataFrame, dims: int, n_bands: int,
                      n_rows: int) -> DataFrame:
     """(vec_id, band, bucket) — banded multi-table hyperplane LSH: band t

@@ -170,6 +170,71 @@ SELECT query_id, vec_id, rank::BIGINT AS rank, cosine FROM ranked
 WHERE rank <= {k}"""
 
 
+def sql_ivf_ann_topk(query_ids: list[int], k: int = 5,
+                     n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Mirrors operators/similarity.ivf_ann_topk expression-for-expression:
+    md5-seeded deterministic centroids, rounded-cosine assignment with
+    centroid_id tiebreak, n_probe nearest centroids per query, exact
+    re-rank of assigned candidates."""
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+  ),
+  cents AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT
+             AS centroid_id,
+           e AS ce, norm AS cnorm
+    FROM base
+    ORDER BY md5(vec_id::VARCHAR), vec_id
+    LIMIT {n_centroids}
+  ),
+  assign AS (
+    SELECT vec_id, centroid_id FROM (
+      SELECT b.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY ROUND(list_dot_product(b.e, c.ce)
+                              / (b.norm * c.cnorm), 6) DESC,
+                        c.centroid_id ASC) AS r
+      FROM base b CROSS JOIN cents c
+    ) WHERE r = 1
+  ),
+  q AS (
+    SELECT vec_id AS query_id, e AS qe, norm AS qnorm FROM base
+    WHERE vec_id IN ({_ids_in(query_ids)})
+  ),
+  probes AS (
+    SELECT query_id, centroid_id, qe, qnorm FROM (
+      SELECT q.query_id, c.centroid_id, q.qe, q.qnorm,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(list_dot_product(q.qe, c.ce)
+                              / (q.qnorm * c.cnorm), 6) DESC,
+                        c.centroid_id ASC) AS r
+      FROM q CROSS JOIN cents c
+    ) WHERE r <= {n_probe}
+  ),
+  scored AS (
+    SELECT p.query_id, b.vec_id,
+           ROUND(list_dot_product(b.e, p.qe) / (b.norm * p.qnorm), 6) AS cosine
+    FROM base b
+    JOIN assign a ON a.vec_id = b.vec_id
+    JOIN probes p ON p.centroid_id = a.centroid_id
+    WHERE b.vec_id <> p.query_id
+  ),
+  ranked AS (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank,
+           cosine
+    FROM scored
+  )
+SELECT query_id, vec_id, rank::BIGINT AS rank, cosine FROM ranked
+WHERE rank <= {k}"""
+
+
 def _plane_array_sql(signs: list[int]) -> str:
     return "[" + ", ".join(f"{s:.1f}" for s in signs) + "]::DOUBLE[]"
 

@@ -73,7 +73,8 @@ def assign_docids_window(df: DataFrame, order_cols=("repo", "path", "commit")) -
 def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
                   num_partitions: int | None = None,
                   return_handle: bool = False,
-                  start: int | None = None):
+                  start: int | None = None,
+                  stats: dict | None = None):
     """Distributed deterministic docid assignment (zipWithIndex as DataFrame).
 
     1. range-partition + sort by the ordering key (total order across
@@ -108,6 +109,10 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if stats is not None:
+        # total row count falls out of the per-partition count job — callers
+        # (e.g. term_vocab) read it here instead of running a second count()
+        stats["n_rows"] = sum(counts.values())
 
     from pyspark.sql.types import LongType, StructField, StructType
 

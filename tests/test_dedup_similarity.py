@@ -10,7 +10,8 @@ from searchenginepp_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from searchenginepp_spark.operators.similarity import (
-    cosine_topk, embedding_near_dup_pairs, lsh_ann_topk,
+    cosine_topk, embedding_near_dup_pairs, ivf_ann_topk, ivf_assign,
+    ivf_centroid_ids, lsh_ann_topk,
 )
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -148,6 +149,63 @@ def test_lsh_ann_subset_of_exact_scores(spark, embeddings):
         vi = np.flatnonzero(ids == r["vec_id"])[0]
         true_cos = mat[vi] @ mat[qi] / (norms[vi] * norms[qi])
         assert r["cosine"] == pytest.approx(round(true_cos, 6), abs=1e-9)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, embeddings):
+    """IVF-flat with n_probe = n_centroids degenerates to the exact answer:
+    every vector is in SOME probed centroid's list, so the candidate set is
+    all of N and the re-rank is brute force."""
+    exact = sorted(map(tuple, cosine_topk(embeddings, [0, 1, 2], k=5).collect()))
+    ivf = sorted(map(tuple, ivf_ann_topk(embeddings, [0, 1, 2], k=5,
+                                         n_centroids=6, n_probe=6).collect()))
+    assert ivf == exact and exact
+
+
+def test_ivf_assignment_is_nearest_centroid(spark, embeddings):
+    """Every vector's assigned centroid is its argmax rounded cosine
+    (ties → smaller centroid_id), checked against numpy."""
+    ids, mat = _np_embeddings(embeddings)
+    norms = np.linalg.norm(mat, axis=1)
+    cents = {r["centroid_id"]: r["vec_id"]
+             for r in ivf_centroid_ids(embeddings, 6).collect()}
+    assert len(cents) == 6 and sorted(cents) == list(range(1, 7))
+    cidx = {cid: np.flatnonzero(ids == v)[0] for cid, v in cents.items()}
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(embeddings, 6).collect()}
+    assert set(got) == set(ids.tolist())
+    for vec_id, cid in list(got.items())[:100]:
+        vi = np.flatnonzero(ids == vec_id)[0]
+        best = min(
+            ((-round(mat[vi] @ mat[ci] / (norms[vi] * norms[ci]), 6), c)
+             for c, ci in cidx.items()))
+        assert cid == best[1], (vec_id, cid, best)
+
+
+def test_ivf_ann_scores_exact_and_recall(spark, embeddings):
+    """Partial-probe IVF: every returned cosine is the true cosine, and
+    probing more centroids never lowers recall vs the exact top-k."""
+    ids, mat = _np_embeddings(embeddings)
+    norms = np.linalg.norm(mat, axis=1)
+    got = ivf_ann_topk(embeddings, [0, 1], k=5, n_centroids=6,
+                       n_probe=2).collect()
+    assert got, "IVF probe lists empty"
+    for r in got:
+        qi = np.flatnonzero(ids == r["query_id"])[0]
+        vi = np.flatnonzero(ids == r["vec_id"])[0]
+        true_cos = mat[vi] @ mat[qi] / (norms[vi] * norms[qi])
+        assert r["cosine"] == pytest.approx(round(true_cos, 6), abs=1e-9)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(embeddings, [0, 1], k=5).collect()}
+
+    def recall(n_probe):
+        g = {(r["query_id"], r["vec_id"])
+             for r in ivf_ann_topk(embeddings, [0, 1], k=5, n_centroids=6,
+                                   n_probe=n_probe).collect()}
+        return len(g & exact) / len(exact)
+
+    r2, r6 = recall(2), recall(6)
+    assert r6 == 1.0
+    assert r2 <= r6
 
 
 def test_embedding_near_dup_scores_exact(spark, embeddings):
