@@ -1,12 +1,15 @@
-"""Multimodal plumbing: the decode boundary is stubbed (no codec libs) but
-schema, Arrow batch shape, and the numpy kernels are real and pinned here."""
+"""Multimodal plumbing: WAV-PCM and BMP decode for REAL (uncompressed
+containers, struct+numpy only — round 4); the stub boundary is exactly the
+compressed codecs (JPEG/PNG), whose libraries this container lacks.
+Schema, Arrow batch shape, and the numpy kernels are pinned here."""
 
 import numpy as np
 import pytest
 
 from searchenginepp_spark.operators.multimodal import (
-    _decode_fake_image, asset_table, byte_histogram, decode_image_stats,
-    make_fake_audio, make_fake_image, probe_assets, resize_images,
+    _decode_fake_image, asset_table, byte_histogram, decode_audio_stats,
+    decode_bmp_gray, decode_image_stats, decode_wav, make_bmp,
+    make_fake_audio, make_fake_image, make_wav, probe_assets, resize_images,
     sample_frames,
 )
 
@@ -80,3 +83,100 @@ def test_sample_frames(assets, spark):
     src = _decode_fake_image(make_fake_image(32, 32, seed=2))
     for r in rows:
         assert bytes(r["frame"]) == src[r["frame_no"]].tobytes()
+
+
+# ------------------------- real WAV / BMP decoders (round 4) ------------
+
+def _sine_i16(n, rate=8000, hz=440.0, amp=12000):
+    t = np.arange(n) / rate
+    return np.round(amp * np.sin(2 * np.pi * hz * t)).astype(np.int16)
+
+
+def test_wav_roundtrip_and_stats(spark):
+    mono = _sine_i16(500)
+    stereo = np.stack([_sine_i16(300), _sine_i16(300, hz=220.0)],
+                      axis=1).ravel()           # interleaved L/R
+    rows = [(1, bytearray(make_wav(mono, 8000))),
+            (2, bytearray(make_wav(stereo, 44100, n_channels=2)))]
+    assets = asset_table(
+        spark.createDataFrame(rows, "asset_id long, data binary"),
+        "asset_id", "data")
+    r = {x["asset_id"]: x for x in decode_audio_stats(assets).collect()}
+    assert (r[1]["sample_rate"], r[1]["n_channels"], r[1]["n_samples"]) == \
+        (8000, 1, 500)
+    a = mono.astype(np.float64)
+    assert r[1]["rms"] == pytest.approx(float(np.sqrt(np.mean(a ** 2))))
+    assert r[1]["peak"] == float(np.abs(a).max())
+    assert r[1]["duration_s"] == pytest.approx(500 / 8000)
+    assert (r[2]["sample_rate"], r[2]["n_channels"], r[2]["n_samples"]) == \
+        (44100, 2, 300)
+    # probe extracts REAL metadata from the RIFF header, not just the magic
+    p = {x["asset_id"]: x for x in probe_assets(assets).collect()}
+    assert (p[1]["kind"], p[1]["sample_rate"], p[1]["n_samples"]) == \
+        ("wav", 8000, 500)
+
+
+def test_wav_bit_depths():
+    rate, n_ch, frames = decode_wav(make_wav(_sine_i16(64), 16000))
+    assert (rate, n_ch, frames.shape) == (16000, 1, (64, 1))
+    # hand-build an 8-bit PCM and a float32 WAV
+    import struct
+
+    def wav(fmt_code, bits, payload):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, 8000,
+                          8000 * bits // 8, bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    u8 = np.array([0, 128, 255], dtype=np.uint8)
+    _, _, f = decode_wav(wav(1, 8, u8.tobytes()))
+    assert f.ravel().tolist() == [-128.0, 0.0, 127.0]
+    f32 = np.array([0.5, -0.25], dtype="<f4")
+    _, _, f = decode_wav(wav(3, 32, f32.tobytes()))
+    assert f.ravel().tolist() == [0.5, -0.25]
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(2, 4, b"\x00"))       # ADPCM: genuinely compressed
+
+
+def test_bmp_roundtrip_padding_and_topdown(spark):
+    # width 3 → each row pads 9 → 12 bytes; values survive the luma
+    # round-trip exactly because make_bmp writes R=G=B
+    gray = np.arange(15, dtype=np.uint8).reshape(5, 3) * 17
+    assert (decode_bmp_gray(make_bmp(gray)) == gray).all()
+    # hand-flip to top-down: negate height, reverse stored row order
+    import struct
+
+    b = bytearray(make_bmp(gray))
+    w, h = 3, 5
+    b[18:26] = struct.pack("<ii", w, -h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = [bytes(b[54 + i * row_bytes:54 + (i + 1) * row_bytes])
+            for i in range(h)]
+    b[54:] = b"".join(reversed(rows))
+    assert (decode_bmp_gray(bytes(b)) == gray).all()
+
+
+def test_bmp_through_image_kernels(spark):
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    rows = [(1, bytearray(make_bmp(gray)))]
+    assets = asset_table(
+        spark.createDataFrame(rows, "asset_id long, data binary"),
+        "asset_id", "data")
+    st = decode_image_stats(assets).collect()[0]
+    assert (st["width"], st["height"]) == (8, 8)
+    assert st["mean_px"] == pytest.approx(float(gray.mean()))
+    out = resize_images(assets, 4, 4).collect()[0]
+    px = _decode_fake_image(bytes(out["data"]))
+    assert px.shape == (4, 4) and np.isin(px, gray).all()
+    p = probe_assets(assets).collect()[0]
+    assert (p["kind"], p["width"], p["height"]) == ("bmp", 8, 8)
+    fr = sample_frames(assets, every_n=4).collect()
+    assert sorted(r["frame_no"] for r in fr) == [0, 4]
+
+
+def test_compressed_codecs_remain_stubbed():
+    with pytest.raises(NotImplementedError):
+        _decode_fake_image(b"\x89PNG\r\n\x1a\nrest")
+    with pytest.raises(NotImplementedError):
+        _decode_fake_image(b"\xff\xd8\xffJFIF")
