@@ -229,3 +229,22 @@ def test_dict_transfer_end_to_end_and_auto_mode(spark, tmp_path):
                 spark.read.parquet(f"{auto_root}/index_shards")
                 .groupBy("term").agg(F.sum("df_shard").alias("s")).collect()}
     assert lex == shard_df
+
+
+def test_auto_transfer_falls_back_to_row_for_huge_vocab(spark, tmp_path):
+    """dict_max_vocab below the corpus vocabulary → auto must pick row mode
+    (the unbounded-vocabulary fallback), still answering identically."""
+    import json
+
+    from searchenginepp_spark.operators.index_build import build_index
+    from searchenginepp_spark.operators.query import search
+
+    corpus = synthesize_corpus(spark, 200)
+    root = str(tmp_path / "fallback")
+    build_index(spark, corpus, root, salt_target=64, block_size=16,
+                dict_max_vocab=5)
+    with open(f"{root}/manifest/build_manifest.json") as f:
+        m = json.load(f)
+    assert m["transfer"] == "row" and m["n_vocab"] > 5
+    got = search(spark, root, [(1, "sym1 sym2")], k=5).collect()
+    assert got
