@@ -74,7 +74,7 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
     RIFF/WAVE chunk walk; PCM 8-bit unsigned / 16- / 32-bit signed and
     IEEE float32 supported.  Raw PCM in a RIFF container is a header
     parse, not a compressed codec — no external library involved."""
-    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
     fmt = data = None
@@ -83,6 +83,8 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray]:
         sz = struct.unpack("<I", b[pos + 4:pos + 8])[0]
         chunk = b[pos + 8:pos + 8 + sz]
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif cid == b"data":
             data = chunk
@@ -126,8 +128,8 @@ def decode_bmp_gray(b: bytes) -> np.ndarray:
     """BMP (BITMAPINFOHEADER, BI_RGB, 24-bit) → uint8 grayscale via the
     integer-exact luma (299R + 587G + 114B) // 1000.  Handles 4-byte row
     padding and both bottom-up (h > 0) and top-down (h < 0) storage."""
-    if b[:2] != b"BM":
-        raise ValueError("not a BMP payload")
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (or header truncated)")
     data_off = struct.unpack("<I", b[10:14])[0]
     hdr_sz, w, h = struct.unpack("<Iii", b[14:26])
     planes, bpp = struct.unpack("<HH", b[26:30])
@@ -204,14 +206,14 @@ def probe_assets(assets: DataFrame) -> DataFrame:
                         sr, n_ch, samples = decode_wav(b)
                         row.update(kind="wav", sample_rate=sr,
                                    n_samples=samples.shape[0])
-                    except (ValueError, NotImplementedError):
+                    except (ValueError, NotImplementedError, struct.error):
                         row["kind"] = "wav"
                 elif b[:2] == b"BM":
                     try:
                         px = decode_bmp_gray(b)
                         row.update(kind="bmp", width=px.shape[1],
                                    height=px.shape[0])
-                    except (ValueError, NotImplementedError):
+                    except (ValueError, NotImplementedError, struct.error):
                         row["kind"] = "bmp"
                 else:
                     for magic, kind in _REAL_MAGICS.items():

@@ -180,3 +180,36 @@ def test_compressed_codecs_remain_stubbed():
         _decode_fake_image(b"\x89PNG\r\n\x1a\nrest")
     with pytest.raises(NotImplementedError):
         _decode_fake_image(b"\xff\xd8\xffJFIF")
+
+
+def test_probe_degrades_on_truncated_real_headers(spark):
+    """ADVICE round 4: a truncated WAV/BMP payload (struct.error territory)
+    must degrade to kind-only metadata, not crash the probe job."""
+    import struct
+
+    from searchenginepp_spark.operators.multimodal import (
+        decode_bmp_gray, decode_wav,
+    )
+
+    payloads = [
+        (1, b"RIFF"),                                  # 4-byte RIFF stub
+        (2, b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 4) + b"ab"), # fmt chunk too short
+        (3, b"BM"),                                    # 2-byte BMP stub
+        (4, b"BM" + b"\x00" * 20),                     # header truncated
+        (5, b"\x89PNG" + b"x"),                        # compressed magic
+    ]
+    df = spark.createDataFrame(payloads, "asset_id long, data binary")
+    rows = {r["asset_id"]: r for r in probe_assets(
+        asset_table(df, "asset_id", "data")).collect()}
+    assert rows[2]["kind"] == "wav" and rows[2]["sample_rate"] is None
+    assert rows[3]["kind"] == "bmp" and rows[3]["width"] is None
+    assert rows[4]["kind"] == "bmp" and rows[4]["width"] is None
+    assert rows[5]["kind"] == "png"
+    # the decoders themselves raise ValueError (not struct.error) on
+    # truncation, so non-probe callers get the documented exception type
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(payloads[0][1])
+    with _pytest.raises(ValueError):
+        decode_bmp_gray(payloads[3][1])
