@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from searchenginepp_spark.config import SKIP_BLOCK_SIZE
 from searchenginepp_spark.operators.index_build import (
     SALT_TARGET_POSTINGS, IndexPaths, build_index_shards, build_stats,
-    doclen_udf, explode_postings,
+    explode_postings,
 )
 from searchenginepp_spark.sources.corpus import (
     CORPUS_COLS, with_content_sha256, with_docno,
@@ -114,7 +114,15 @@ def _stage_batch(spark: SparkSession, batch: DataFrame, batch_id: int,
          .select("term", "docid", F.col("tf").cast("long").alias("tf"),
                  F.col("doclen").cast("long").alias("doclen"))
          .write.mode("overwrite").parquet(f"{staging.postings}/batch={batch_id}"))
-        (prepared.withColumn("doclen", doclen_udf(stem)(F.col("content")))
+        # doclen from the JUST-WRITTEN postings (each row carries its doc's
+        # doclen) instead of a second tokenize of the batch — the docmap
+        # write costs one read of the batch's postings parquet, not another
+        # Python pass over the content (round 5; zero-token docs → 0)
+        doclens = (spark.read.parquet(f"{staging.postings}/batch={batch_id}")
+                   .groupBy("docid").agg(F.first("doclen").alias("doclen")))
+        (prepared.join(doclens, "docid", "left")
+         .withColumn("doclen",
+                     F.coalesce(F.col("doclen"), F.lit(0)).cast("long"))
          .select(*_DOCMAP_COLS)
          .write.mode("overwrite").parquet(f"{staging.docmap}/batch={batch_id}"))
     finally:
@@ -327,11 +335,16 @@ def finalize_index(spark: SparkSession, staging_root: str, out: str,
 
     # only batches whose DOCMAP committed: an orphaned postings dir (crash
     # after the postings write, before the docmap commit) belongs to a
-    # batch the stream will replay — its docs are not in this docmap/stats
+    # batch the stream will replay — its docs are not in this docmap/stats.
+    # With NO committed docmap batch at all, the index is empty; folding
+    # orphaned postings here would contradict that policy (n_docs=0 stats
+    # with nonzero postings — ADVICE round 4), so the postings frame is
+    # empty too, same schema.
     post_dirs = [p for p in _committed_batch_dirs(spark, staging.postings)
                  if int(p.rstrip("/").rsplit("batch=", 1)[1]) in dm_ids]
     postings = (spark.read.parquet(*post_dirs).select(*_POSTING_COLS)
-                if post_dirs else read_staged_postings(spark, staging))
+                if post_dirs else spark.createDataFrame(
+                    [], "term string, docid long, tf long, doclen long"))
     shards = build_index_shards(postings, float(avgdl),
                                 salt_target=salt_target,
                                 num_partitions=term_partitions,

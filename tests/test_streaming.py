@@ -300,3 +300,26 @@ def test_refresh_auto_compaction_bounds_fragmentation(spark, tmp_path):
     assert got == want
     assert _by_docno(search_bmm(spark, prev, QUERIES, k=10)) == \
         _by_docno(search(spark, prev, QUERIES, k=10))
+
+
+def test_orphan_postings_with_no_committed_docmap_yields_empty_index(
+        spark, tmp_path):
+    """ADVICE round 4: crash after the very FIRST batch's postings write
+    (no docmap batch committed at all) must finalize to an EMPTY index —
+    not fold the orphaned postings into an index whose stats say
+    n_docs=0."""
+    import shutil
+
+    from searchenginepp_spark.streaming.incremental import (
+        StagingPaths, _stage_batch,
+    )
+
+    corpus = synthesize_corpus(spark, 20)
+    staging = StagingPaths(str(tmp_path / "staging"))
+    _stage_batch(spark, corpus, 0, staging, stem=True)
+    shutil.rmtree(f"{staging.docmap}/batch=0")      # crash before docmap
+    idx = finalize_index(spark, staging.root, str(tmp_path / "idx"))
+    assert spark.read.parquet(idx.docmap).count() == 0
+    assert spark.read.parquet(idx.shards).count() == 0
+    stats = spark.read.parquet(idx.stats).collect()[0]
+    assert stats["n_docs"] == 0
