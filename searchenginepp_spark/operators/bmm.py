@@ -216,6 +216,105 @@ def _theta(acc_sc: np.ndarray, k: int) -> float:
     return float(np.partition(acc_sc, acc_sc.size - k)[acc_sc.size - k])
 
 
+def _seed_first_list(cur: _ListCursor, k: int, rest0: float, scorer_fn,
+                     eps: float) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max decode of the FIRST essential list (empty accumulator):
+    blocks are processed in DESCENDING block-max order, maintaining θ = the
+    k-th best score seen so far; once the next block's bound (its block max
+    + rest0, the σ-sum every other list could still add) falls below θ − eps,
+    every remaining block is provably out of the rounded top-k and is never
+    decoded.  This is what bounds a single-term head-query (rest0 = 0) to
+    ~k/block_size block decodes instead of the whole 10^6-posting list
+    (VERDICT round 4 #4; the reference's nextGEQ likewise never decodes
+    skipped blocks, Index.cpp:181-214).
+
+    Soundness of skipping: a doc in a skipped block has true total score
+    ≤ block_ub + rest0 < θ − eps ≤ θ_final − eps, so it cannot enter the
+    rounded top-k; its absence from the accumulator only ever under-counts
+    docs that the final keep filter drops anyway (see maxscore_query)."""
+    order = np.argsort(-cur.block_ubs, kind="stable")
+    ids_parts: list[np.ndarray] = []
+    sc_parts: list[np.ndarray] = []
+    theta = -np.inf
+    n_seen = 0
+    next_recalc = k
+    for b in order:
+        if theta != -np.inf and cur.block_ubs[b] + rest0 < theta - eps:
+            break
+        i, s = cur.decode_block(int(b), scorer_fn)
+        ids_parts.append(i)
+        sc_parts.append(s)
+        n_seen += s.size
+        # θ recompute is O(n_seen); amortize it (recalc on ~doubling) — a
+        # stale θ only delays the cutoff, never prunes wrongly
+        if n_seen >= next_recalc:
+            theta = _theta(np.concatenate(sc_parts), k)
+            next_recalc = max(n_seen * 2, k)
+    if not ids_parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    return np.concatenate(ids_parts), np.concatenate(sc_parts)
+
+
+def _single_list_topk(cur: _ListCursor, k: int, scorer_fn,
+                      eps: float) -> tuple[np.ndarray, np.ndarray]:
+    """Single-list (one-term, unsalted) top-k: iterate blocks in STORAGE
+    (docid) order, skipping any block whose best possible ROUNDED score
+    cannot beat the current k-th best — including exact ties, which the
+    docid-asc tie-break already awards to the earlier (smaller-docid)
+    blocks.  Handles the degenerate df==N head term (idf 0, every score
+    ties at 0): after ceil(k/block_size) blocks the remaining list is never
+    decoded.  Only valid when NO other list can add score (tie-break
+    reasoning is on FINAL scores), so maxscore_query uses it exclusively
+    for len(lists)==1."""
+    decimals = int(round(-np.log10(eps))) if eps > 0 else None
+
+    def grid(x: float) -> float:
+        return x if decimals is None else float(np.round(x, decimals))
+
+    ids_parts: list[np.ndarray] = []
+    sc_parts: list[np.ndarray] = []
+    top = np.empty(0, dtype=np.float64)       # k best so far, ascending
+    for b in range(cur.n_blocks):
+        # k accumulated docs already round ≥ this block's max: every doc
+        # here rounds ≤ that, and earlier blocks hold smaller docids, so
+        # the tie-break seals the loss — skip without decoding
+        if top.size >= k and grid(top[0]) >= grid(float(cur.block_ubs[b])):
+            continue
+        i, s = cur.decode_block(b, scorer_fn)
+        ids_parts.append(i)
+        sc_parts.append(s)
+        if s.size:
+            top = np.sort(np.concatenate([top, s]))[-k:]
+    if not ids_parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    return np.concatenate(ids_parts), np.concatenate(sc_parts)
+
+
+def _pruned_decode(cur: _ListCursor, acc_ids: np.ndarray, acc_sc: np.ndarray,
+                   theta: float, rest_j: float, scorer_fn,
+                   eps: float) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the blocks of an essential list that can still matter
+    once θ is live: a block is alive if an UNSEEN doc in it could reach θ
+    (block_ub + rest_j ≥ θ − eps) or if an ACCUMULATED candidate falls in it
+    and acc_score + block_ub + rest_j ≥ θ − eps.  Docs in dead blocks are
+    provably below θ_final − eps (same argument as _seed_first_list), so
+    their missing contributions only under-count docs the final filter
+    drops."""
+    alive = cur.block_ubs + rest_j >= theta - eps
+    if not alive.all() and acc_ids.size:
+        blk = np.searchsorted(cur.last_docids, acc_ids, side="left")
+        in_range = blk < cur.n_blocks
+        need = acc_sc[in_range] + cur.block_ubs[blk[in_range]] + rest_j \
+            >= theta - eps
+        alive[blk[in_range][need]] = True
+    live = np.flatnonzero(alive)
+    if live.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    parts = [cur.decode_block(int(b), scorer_fn) for b in live]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
+
+
 def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
                    eps: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore over one query's posting lists → (docids, scores) of the
@@ -223,7 +322,44 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
 
     eps: pruning slack for rounded ranking — every comparison against θ uses
     θ − eps, so a doc whose ROUNDED score (at 10^-eps granularity) could tie
-    the k-th doc is never pruned (see module docstring)."""
+    the k-th doc is never pruned (see module docstring).
+
+    Phase 1 is BLOCK-max, not list-exhaustive (round 5): the first list
+    seeds θ via descending-block-max decode with early cutoff
+    (_seed_first_list); subsequent essential lists decode only alive blocks
+    (_pruned_decode).  Docs skipped this way have true totals < θ − eps, so
+    they either never enter the accumulator or reach the end under-counted
+    and strictly below the final keep threshold — survivors still carry
+    exact scores."""
+    if len(lists) == 1:
+        # one-term, one-shard query: the tie-break-aware single-list kernel
+        # (covers the df==N idf-0 degenerate where every score ties)
+        return _single_list_topk(lists[0], k, scorer_fn, eps)
+
+    if all(c.sigma <= 0.0 for c in lists):
+        # idf-0 degenerate on EVERY list (each query term has df == N, e.g.
+        # a salted head term): all scores are 0, so score pruning has zero
+        # power and the ranking is pure docid-asc.  Each list is
+        # docid-ordered in storage, so its k smallest in-range docids live
+        # in its first ~ceil(k/block_size) blocks past lo — decode only
+        # those and merge; the global k smallest are a subset.
+        ids_parts: list[np.ndarray] = []
+        for cur in lists:
+            b0 = (int(np.searchsorted(cur.last_docids, cur.lo, side="left"))
+                  if cur.lo is not None else 0)
+            got = 0
+            for b in range(b0, cur.n_blocks):
+                i, _ = cur.decode_block(b, scorer_fn)
+                ids_parts.append(i)
+                got += i.size
+                if got >= k:
+                    break
+        if not ids_parts:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        ids = np.unique(np.concatenate(ids_parts))[:k]
+        return ids, np.zeros(ids.size, dtype=np.float64)
+
     lists = sorted(lists, key=lambda c: -c.sigma)
     sigmas = np.array([c.sigma for c in lists], dtype=np.float64)
     # rest[j] = σ-sum of lists AFTER j (still unprocessed when j is current)
@@ -233,9 +369,13 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
     acc_sc = np.empty(0, dtype=np.float64)
     theta = -np.inf
     j = 0
-    # phase 1 — full scoring while an unseen doc could still reach top-k
+    # phase 1 — score while an unseen doc could still reach top-k
     while j < len(lists) and sigmas[j] + rest[j] >= theta - eps:
-        ids, sc = lists[j].decode_all(scorer_fn)
+        if theta == -np.inf and acc_ids.size == 0:
+            ids, sc = _seed_first_list(lists[j], k, rest[j], scorer_fn, eps)
+        else:
+            ids, sc = _pruned_decode(lists[j], acc_ids, acc_sc, theta,
+                                     rest[j], scorer_fn, eps)
         acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, ids, sc)
         theta = _theta(acc_sc, k)
         j += 1
