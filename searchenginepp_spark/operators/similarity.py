@@ -139,8 +139,58 @@ def ivf_centroid_ids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def _centroid_table(embeddings: DataFrame, n_centroids: int,
+                    centroids=None) -> DataFrame:
+    """(centroid_id, ce, cnorm) — the broadcastable coarse-quantizer table.
+
+    centroids=None: the md5-seeded deterministic sample (ivf_centroid_ids,
+    the SQL-reproducible oracle-gated default).  Otherwise: TRAINED
+    centroids — either a DataFrame(centroid_id, embedding) or a plain list
+    of vectors (e.g. pyspark.ml KMeans `model.clusterCenters()`, the seam
+    ivf_train_centroids fills); only this seed table changes, the
+    assignment and probe plans are identical either way."""
+    if centroids is None:
+        return (
+            ivf_centroid_ids(embeddings, n_centroids)
+            .join(with_norm(embeddings).select(
+                "vec_id", _emb().alias("ce"), F.col("norm").alias("cnorm")),
+                "vec_id")
+            .select("centroid_id", "ce", "cnorm")
+        )
+    if not isinstance(centroids, DataFrame):
+        rows = [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        centroids = embeddings.sparkSession.createDataFrame(
+            rows, "centroid_id long, embedding array<double>")
+    return (with_norm(centroids)
+            .select("centroid_id", _emb().alias("ce"),
+                    F.col("norm").alias("cnorm")))
+
+
+def ivf_train_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                        max_iter: int = 20, seed: int = 7) -> list[list[float]]:
+    """Train the IVF coarse quantizer with pyspark.ml KMeans over the
+    L2-NORMALIZED vectors (spherical k-means: cosine assignment is dot
+    product on the unit sphere, so Euclidean k-means on normalized inputs
+    optimizes the right geometry).  Returns plain centroid vectors for
+    ivf_assign/ivf_ann_topk's `centroids=` seam.
+
+    Scale note: KMeans here is the distributed pyspark.ml implementation
+    (one pass per iteration over N, centroid state broadcast) — at 100 TB
+    train on a sample (KMeans cost is dominated by N×k distance evals) and
+    hand the resulting ≈√N centroids to the same seam."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = (with_norm(embeddings).filter(F.col("norm") > 0)
+            .select(F.transform(_emb(),
+                                lambda x: x / F.col("norm")).alias("u")))
+    feat = unit.select(array_to_vector("u").alias("features"))
+    model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed).fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
-               round_to: int = 6) -> DataFrame:
+               round_to: int = 6, centroids=None) -> DataFrame:
     """(vec_id, centroid_id) — every vector assigned to its nearest
     centroid by rounded cosine (ties: centroid_id asc).
 
@@ -148,13 +198,7 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
     ONE pass over N with a small cross join (N × n_centroids rows in the
     map stage, collapsed by the per-vec window) — no shuffle of the
     embedding column beyond the window's hash partition on vec_id."""
-    cents = (
-        ivf_centroid_ids(embeddings, n_centroids)
-        .join(with_norm(embeddings).select(
-            "vec_id", _emb().alias("ce"), F.col("norm").alias("cnorm")),
-            "vec_id")
-        .select("centroid_id", "ce", "cnorm")
-    )
+    cents = _centroid_table(embeddings, n_centroids, centroids)
     base = with_norm(embeddings).select("vec_id", _emb().alias("e"), "norm")
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "ccos", F.round(_dot(F.col("e"), F.col("ce"))
@@ -170,7 +214,7 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
 
 def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                  n_centroids: int = 16, n_probe: int = 4,
-                 round_to: int = 6) -> DataFrame:
+                 round_to: int = 6, centroids=None) -> DataFrame:
     """(query_id, vec_id, rank, cosine) — IVF-flat approximate top-k: each
     query probes its n_probe nearest centroids and exact-cosine re-ranks
     only the vectors ASSIGNED to those centroids (self excluded).
@@ -181,15 +225,14 @@ def ivf_ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     (pinned by test).  At 100 TB the assignment table is the partition key:
     cluster/bucket the vector table BY centroid_id so a probe reads only
     its centroids' buckets (partition pruning), and size n_centroids ≈
-    sqrt(N) to balance probe count against bucket size."""
-    assign = ivf_assign(embeddings, n_centroids, round_to)
-    cents = (
-        ivf_centroid_ids(embeddings, n_centroids)
-        .join(with_norm(embeddings).select(
-            "vec_id", _emb().alias("ce"), F.col("norm").alias("cnorm")),
-            "vec_id")
-        .select("centroid_id", "ce", "cnorm")
-    )
+    sqrt(N) to balance probe count against bucket size.
+
+    centroids: optional trained quantizer (ivf_train_centroids or any
+    DataFrame(centroid_id, embedding) / list of vectors) — replaces the
+    md5-seeded sample; recall at equal n_probe is pinned ≥ seeded by
+    test."""
+    assign = ivf_assign(embeddings, n_centroids, round_to, centroids)
+    cents = _centroid_table(embeddings, n_centroids, centroids)
     base = with_norm(embeddings).select("vec_id", _emb().alias("e"), "norm")
     q = (base.filter(F.col("vec_id").isin(query_ids))
          .select(F.col("vec_id").alias("query_id"),
