@@ -455,6 +455,35 @@ def run_headline_local8() -> dict | None:
     }
 
 
+def _compact_summary(out: dict) -> dict:
+    """A ≤~1.5 KB digest printed as the FINAL stdout line (VERDICT round 4
+    #3: the driver's stdout tail capture truncated the full JSON mid-line,
+    recording parsed:null).  Every headline number survives; deep per-run
+    detail lives in the full JSON (earlier line + measurements file)."""
+    sc = out.get("scaling_executor") or out.get("scaling") or {}
+    sc_keys = ("mode", "cores_n", "cores_4n", "n_docs", "n_runs",
+               "build_s_n", "build_s_4n", "build_s_n_all", "build_s_4n_all",
+               "efficiency", "work_scaling_efficiency",
+               "host_ceiling_efficiency", "efficiency_vs_host_ceiling")
+    qps = out.get("queries_per_sec") or {}
+    l8 = out.get("headline_local8") or {}
+    return {
+        "metric": out["metric"], "value": out["value"], "unit": out["unit"],
+        "queries": {k: v for k, v in out["queries"].items()
+                    if not (k[0] == "q" and k[1:].isdigit())},  # per-qid out
+        "sf": out["sf"], "docs_per_sec": out["docs_per_sec"],
+        "n_docs": out["n_docs"],
+        "headline_all_runs_s": out.get("headline_all_runs_s"),
+        "headline_local8_s": l8.get("value"),
+        "queries_per_sec": {k: qps[k] for k in
+                            ("exact_spark_qps", "bmm_spark_qps",
+                             "local_warm_qps") if k in qps},
+        "scaling_executor": {k: sc[k] for k in sc_keys if k in sc},
+        "detail": "full JSON on the preceding bench_full line and in "
+                  "measurements/bench_full_latest.json",
+    }
+
+
 def main() -> None:
     big = run_headline()
     local8 = run_headline_local8()
@@ -501,7 +530,17 @@ def main() -> None:
         "index_size": big.get("index_size"),
         "cpu": cpu,
     }
-    print(json.dumps(out))
+    # full detail: one stdout line (prefixed, never the parse target) + a
+    # committed file; the FINAL line is the compact parse-safe summary
+    full = json.dumps(out)
+    try:
+        os.makedirs(f"{_REPO}/measurements", exist_ok=True)
+        with open(f"{_REPO}/measurements/bench_full_latest.json", "w") as f:
+            f.write(full)
+    except OSError:
+        pass
+    print(f"bench_full: {full}")
+    print(json.dumps(_compact_summary(out)))
 
 
 if __name__ == "__main__":
