@@ -214,25 +214,42 @@ def run_build(cores: int, n_docs: int, workdir: str,
                        fixed_parallelism=fixed_parallelism)
     try:
         spark.sparkContext.setLogLevel("ERROR")
-        corpus = synthesize_corpus_distributed(
-            spark, n_docs,
-            num_partitions=fixed_parallelism or max(cores * 3, 16))
-        # materialize input first so generation cost is excluded from build
-        src = f"{workdir}/corpus_parquet"
-        corpus.write.mode("overwrite").parquet(src)
+        # SPARK_GRAFT_CORPUS_SRC: reuse a pre-generated corpus parquet so
+        # paired runs (cache-mode A/B, scaling lo/hi) read IDENTICAL input
+        # without paying per-run generation (measure_cache_fallback.py)
+        src = os.environ.get("SPARK_GRAFT_CORPUS_SRC", "")
+        if not (src and os.path.exists(src)):
+            corpus = synthesize_corpus_distributed(
+                spark, n_docs,
+                num_partitions=fixed_parallelism or max(cores * 3, 16))
+            # materialize input first so generation cost is excluded
+            src = f"{workdir}/corpus_parquet"
+            corpus.write.mode("overwrite").parquet(src)
         corpus = spark.read.parquet(src)
 
+        # SPARK_GRAFT_CACHE_MODE: forces build_index's cache_postings
+        # ("memory"→True, "false"→False, else passed through: auto/disk)
+        cm = os.environ.get("SPARK_GRAFT_CACHE_MODE", "auto").lower()
+        cache_postings = {"true": True, "memory": True,
+                          "false": False}.get(cm, cm)
         phases: dict = {}
         busy0, _ = _cpu_stat()
         t0 = time.perf_counter()
         # term_partitions left to the library's data-based sizing
         # (~5M postings/partition — 2M docs would spill at cores*2)
         paths = build_index(spark, corpus, f"{workdir}/index",
-                            timings=phases)
+                            timings=phases, cache_postings=cache_postings)
         build_s = time.perf_counter() - t0
         busy1, _ = _cpu_stat()
         res = {"build_s": build_s, "docs_per_sec": n_docs / build_s,
                "phases": phases, "cpu_s": round(busy1 - busy0, 1)}
+        try:
+            with open(f"{workdir}/index/manifest/build_manifest.json") as f:
+                mf = json.load(f)
+            res["cache_postings"] = mf.get("cache_postings")
+            res["cache_decision"] = mf.get("cache_decision")
+        except OSError:
+            pass
         if not run_queries:
             return res
 
@@ -560,7 +577,8 @@ if __name__ == "__main__":
                       fixed_parallelism=fixed)
         slim = {"build_s": r["build_s"], "docs_per_sec": r["docs_per_sec"],
                 "phases": r["phases"], "cpu_s": r["cpu_s"]}
-        for k in ("query_s", "per_query", "index_size", "qps"):
+        for k in ("query_s", "per_query", "index_size", "qps",
+                  "cache_postings", "cache_decision"):
             if k in r:
                 slim[k] = r[k]
         print(json.dumps(slim))

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Measure the cache-pressure auto-fallback at the configuration that
+exposed the pathology (VERDICT round 4 #1): 2M docs on ONE 4 GB executor
+(local-cluster[1,1,4096], pinned to 2 CPUs — 1 executor core + 1 driver),
+identical input parquet, alternating runs of
+
+  memory  cache_postings=True   (the old default: MEMORY_AND_DISK persists
+                                 — spills/evicts at this size, measured
+                                 967 s docmap in round 4)
+  auto    cache_postings="auto"  (round 5: the estimator must flip BOTH
+                                 persists to DISK_ONLY before the build)
+
+Writes measurements/round5_cache_fallback_2M.json.  Usage:
+
+    python scripts/measure_cache_fallback.py [--docs 2000000] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def generate_corpus(n_docs: int, out: str) -> float:
+    """Synthesize the shared input once, unpinned local[8] (generation is
+    not part of the measurement; both modes read these exact bytes)."""
+    from bench import make_spark
+    from searchenginepp_spark.sources.corpus import (
+        synthesize_corpus_distributed,
+    )
+
+    t0 = time.perf_counter()
+    spark = make_spark(8)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        synthesize_corpus_distributed(
+            spark, n_docs, num_partitions=32).write.mode(
+            "overwrite").parquet(out)
+    finally:
+        spark.stop()
+    return time.perf_counter() - t0
+
+
+def one_run(mode: str, n_docs: int, workdir: str, corpus_src: str) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CACHE_MODE=mode,
+               SPARK_GRAFT_CORPUS_SRC=corpus_src,
+               SPARK_GRAFT_SCALING_PARTS="32")
+    cmd = [sys.executable, f"{REPO}/bench.py",
+           "--one-run", "executor", "1", str(n_docs), workdir]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", "0-1"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=5400,
+                         env=env)
+    last = [ln for ln in out.stdout.strip().split("\n")
+            if ln.startswith("{")]
+    if out.returncode != 0 or not last:
+        raise RuntimeError(f"run failed rc={out.returncode} "
+                           f"stderr tail: {out.stderr[-800:]}")
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--modes", default="memory,auto")
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="sepp_cachefb_")
+    modes = args.modes.split(",")
+    results: dict = {m: [] for m in modes}
+    try:
+        corpus_src = f"{tmp}/corpus_parquet"
+        gen_s = generate_corpus(args.docs, corpus_src)
+        print(f"corpus generated in {gen_s:.1f}s -> {corpus_src}",
+              flush=True)
+        for i in range(args.runs):              # alternate modes per round
+            for m in modes:
+                wd = f"{tmp}/{m}_{i}"
+                t0 = time.perf_counter()
+                r = one_run(m, args.docs, wd, corpus_src)
+                r["wall_s"] = round(time.perf_counter() - t0, 1)
+                results[m].append(r)
+                print(f"[{m} run {i}] build {r['build_s']:.1f}s "
+                      f"phases={r['phases']} "
+                      f"decision={r.get('cache_postings')}", flush=True)
+                shutil.rmtree(wd, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    summary = {
+        "config": "local-cluster[1,1,4096] 4g executor, pinned 0-1, "
+                  "32 partitions, shared input parquet",
+        "n_docs": args.docs, "n_runs": args.runs,
+        "runs": results,
+    }
+    bests = {}
+    for m in modes:
+        if results[m]:
+            bests[m] = min(r["build_s"] for r in results[m])
+            summary[f"best_build_s_{m}"] = round(bests[m], 2)
+    if "memory" in bests and "auto" in bests:
+        summary["auto_speedup_vs_memory"] = round(
+            bests["memory"] / bests["auto"], 3)
+    os.makedirs(f"{REPO}/measurements", exist_ok=True)
+    out_path = f"{REPO}/measurements/round5_cache_fallback_2M.json"
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
+    print(f"written: {out_path}")
+
+
+if __name__ == "__main__":
+    main()

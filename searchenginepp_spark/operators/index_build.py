@@ -803,19 +803,26 @@ def _files_nbytes(spark: SparkSession, files: list[str] | None) -> int | None:
 
 def _executor_storage_info(spark: SparkSession) -> tuple:
     """(total, min_single) BlockManager storage capacity in bytes across
-    live executors (the driver's in local mode) — the budget persists and
-    broadcasts compete for.  Reads the same maxMem the storage UI shows;
-    (None, None) when the JVM call is unavailable."""
+    live executors — the budget persists and broadcasts compete for.  The
+    driver's BlockManager is counted ONLY when it is the sole one (local
+    mode, where the driver runs the tasks): with real executors the
+    cached partitions never land on the driver, so a large driver heap
+    must not inflate the budget (that is exactly the 4 GB-executor /
+    8 GB-driver config whose spill this estimator exists to prevent).
+    Reads the same maxMem the storage UI shows; (None, None) when the JVM
+    call is unavailable."""
     try:
-        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
-        it = status.iterator()
-        total, least = 0, None
-        while it.hasNext():
-            kv = it.next()
-            m = int(kv._2()._1())
-            total += m
-            least = m if least is None or m < least else least
-        return (total or None), least
+        sts = (spark.sparkContext._jsc.sc().env().blockManager().master()
+               .getStorageStatus())
+        execs, driver = [], []
+        for s in sts:
+            m = int(s.maxMem())
+            (driver if s.blockManagerId().executorId() == "driver"
+             else execs).append(m)
+        pool = execs or driver
+        if not pool:
+            return None, None
+        return sum(pool), min(pool)
     except Exception:
         return None, None
 
