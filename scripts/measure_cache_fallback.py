@@ -59,13 +59,16 @@ def one_run(mode: str, n_docs: int, workdir: str, corpus_src: str) -> dict:
            "--one-run", "executor", "1", str(n_docs), workdir]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", "0-1"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=5400,
-                         env=env)
+    log = f"{workdir}_stderr.log"
+    with open(log, "w") as ef:
+        out = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=ef,
+                             text=True, timeout=5400, env=env)
     last = [ln for ln in out.stdout.strip().split("\n")
             if ln.startswith("{")]
     if out.returncode != 0 or not last:
+        tail = open(log).read()[-6000:]
         raise RuntimeError(f"run failed rc={out.returncode} "
-                           f"stderr tail: {out.stderr[-800:]}")
+                           f"(full log: {log}) stderr tail: {tail}")
     return json.loads(last[-1])
 
 
@@ -84,11 +87,18 @@ def main() -> None:
         gen_s = generate_corpus(args.docs, corpus_src)
         print(f"corpus generated in {gen_s:.1f}s -> {corpus_src}",
               flush=True)
+        errors = []
         for i in range(args.runs):              # alternate modes per round
             for m in modes:
                 wd = f"{tmp}/{m}_{i}"
                 t0 = time.perf_counter()
-                r = one_run(m, args.docs, wd, corpus_src)
+                try:
+                    r = one_run(m, args.docs, wd, corpus_src)
+                except Exception as exc:        # keep the other runs
+                    errors.append(f"{m} run {i}: {exc}")
+                    print(f"[{m} run {i}] FAILED: {exc}", flush=True)
+                    shutil.rmtree(wd, ignore_errors=True)
+                    continue
                 r["wall_s"] = round(time.perf_counter() - t0, 1)
                 results[m].append(r)
                 print(f"[{m} run {i}] build {r['build_s']:.1f}s "
@@ -103,6 +113,7 @@ def main() -> None:
                   "32 partitions, shared input parquet",
         "n_docs": args.docs, "n_runs": args.runs,
         "runs": results,
+        **({"run_errors": errors} if errors else {}),
     }
     bests = {}
     for m in modes:
