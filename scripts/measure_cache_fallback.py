@@ -10,9 +10,18 @@ identical input parquet, alternating runs of
   auto    cache_postings="auto"  (round 5: the estimator must flip BOTH
                                  persists to DISK_ONLY before the build)
 
+Partitioning matters for WHICH failure memory mode hits: round 4's run
+used 128 input/shuffle partitions (bench's scaling default) and spilled;
+at 32 partitions the cached postings partitions are 4x larger and the
+4 GB executor dies outright with JVM OOM (exit code 52, measured
+2026-08-17: executors 0 and 1 both lost, job aborted in stage 10.2) —
+an even harder failure the auto fallback must avoid.  Default here is
+128 to reproduce the round-4 spill pathology as a time-vs-time A/B.
+
 Writes measurements/round5_cache_fallback_2M.json.  Usage:
 
     python scripts/measure_cache_fallback.py [--docs 2000000] [--runs 2]
+        [--parts 128] [--corpus /path/to/existing/corpus_parquet]
 """
 
 from __future__ import annotations
@@ -30,7 +39,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def generate_corpus(n_docs: int, out: str) -> float:
+def generate_corpus(n_docs: int, out: str, parts: int) -> float:
     """Synthesize the shared input once, unpinned local[8] (generation is
     not part of the measurement; both modes read these exact bytes)."""
     from bench import make_spark
@@ -43,18 +52,19 @@ def generate_corpus(n_docs: int, out: str) -> float:
     try:
         spark.sparkContext.setLogLevel("ERROR")
         synthesize_corpus_distributed(
-            spark, n_docs, num_partitions=32).write.mode(
+            spark, n_docs, num_partitions=parts).write.mode(
             "overwrite").parquet(out)
     finally:
         spark.stop()
     return time.perf_counter() - t0
 
 
-def one_run(mode: str, n_docs: int, workdir: str, corpus_src: str) -> dict:
+def one_run(mode: str, n_docs: int, workdir: str, corpus_src: str,
+            parts: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CACHE_MODE=mode,
                SPARK_GRAFT_CORPUS_SRC=corpus_src,
-               SPARK_GRAFT_SCALING_PARTS="32")
+               SPARK_GRAFT_SCALING_PARTS=str(parts))
     cmd = [sys.executable, f"{REPO}/bench.py",
            "--one-run", "executor", "1", str(n_docs), workdir]
     if shutil.which("taskset"):
@@ -77,23 +87,31 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--modes", default="memory,auto")
+    ap.add_argument("--parts", type=int, default=128)
+    ap.add_argument("--corpus", default="",
+                    help="reuse an existing corpus parquet (must have been "
+                         "generated with the same --docs and --parts)")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="sepp_cachefb_")
     modes = args.modes.split(",")
     results: dict = {m: [] for m in modes}
     try:
-        corpus_src = f"{tmp}/corpus_parquet"
-        gen_s = generate_corpus(args.docs, corpus_src)
-        print(f"corpus generated in {gen_s:.1f}s -> {corpus_src}",
-              flush=True)
+        if args.corpus and os.path.exists(args.corpus):
+            corpus_src = args.corpus
+            print(f"reusing corpus {corpus_src}", flush=True)
+        else:
+            corpus_src = f"{tmp}/corpus_parquet"
+            gen_s = generate_corpus(args.docs, corpus_src, args.parts)
+            print(f"corpus generated in {gen_s:.1f}s -> {corpus_src}",
+                  flush=True)
         errors = []
         for i in range(args.runs):              # alternate modes per round
             for m in modes:
                 wd = f"{tmp}/{m}_{i}"
                 t0 = time.perf_counter()
                 try:
-                    r = one_run(m, args.docs, wd, corpus_src)
+                    r = one_run(m, args.docs, wd, corpus_src, args.parts)
                 except Exception as exc:        # keep the other runs
                     errors.append(f"{m} run {i}: {exc}")
                     print(f"[{m} run {i}] FAILED: {exc}", flush=True)
@@ -109,8 +127,8 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     summary = {
-        "config": "local-cluster[1,1,4096] 4g executor, pinned 0-1, "
-                  "32 partitions, shared input parquet",
+        "config": f"local-cluster[1,1,4096] 4g executor, pinned 0-1, "
+                  f"{args.parts} partitions, shared input parquet",
         "n_docs": args.docs, "n_runs": args.runs,
         "runs": results,
         **({"run_errors": errors} if errors else {}),
