@@ -103,7 +103,8 @@ class _ListCursor:
 
     __slots__ = ("sigma", "blocks", "docid_blob", "tf_blob", "doclen_blob",
                  "idf", "n_blocks", "last_docids", "block_ubs", "_cache",
-                 "_d_ends", "_l_ends", "_t_bit_ends", "lo", "hi")
+                 "_d_ends", "_l_ends", "_t_bit_ends", "lo", "hi",
+                 "_full", "_psum")
 
     def __init__(self, row, scorer: str):
         # stored σ / block maxima are idf-free score PARTS (index_build.py
@@ -147,10 +148,19 @@ class _ListCursor:
         self.lo = None if lo is None else int(lo)
         self.hi = None if hi is None else int(hi)
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # posting-count prefix: block b's postings live at _psum[b]:_psum[b+1]
+        # of the concatenated list (valid for slicing _full when lo is None)
+        self._psum = np.concatenate(
+            ([0], np.cumsum([_skip_field(b, "n_postings")
+                             for b in self.blocks], dtype=np.int64)))
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
 
     def decode_block(self, b: int, scorer_fn) -> tuple[np.ndarray, np.ndarray]:
         """→ (docids, scores) of block b; touches only that block's
         byte/bit span (bounded by the next block's stored offsets)."""
+        if self._full is not None:          # only built when lo is None
+            s0, s1 = int(self._psum[b]), int(self._psum[b + 1])
+            return self._full[0][s0:s1], self._full[1][s0:s1]
         hit = self._cache.get(b)
         if hit is not None:
             return hit
@@ -181,8 +191,46 @@ class _ListCursor:
         self._cache[b] = out
         return out
 
+    def _decode_full(self, scorer_fn) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-list decode, cached as ONE pair of arrays (lo is None only:
+        no range mask, so _psum offsets stay valid for decode_block slicing).
+        Replaces the per-block cache it subsumes — repeat queries on a warm
+        head-term cursor cost zero decode and zero concatenation."""
+        if self._full is None:
+            parts = [self.decode_block(b, scorer_fn)
+                     for b in range(self.n_blocks)]
+            self._full = (np.concatenate([p[0] for p in parts]),
+                          np.concatenate([p[1] for p in parts]))
+            self._cache.clear()
+        return self._full
+
     def decode_all(self, scorer_fn) -> tuple[np.ndarray, np.ndarray]:
+        if self.lo is None:
+            return self._decode_full(scorer_fn)
         parts = [self.decode_block(b, scorer_fn) for b in range(self.n_blocks)]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    def decode_selected(self, blocks_idx: np.ndarray,
+                        scorer_fn) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the given ASCENDING block indices → (docids, scores),
+        docid-sorted (blocks are docid-ordered and disjoint).  Decoding
+        ≥ 90% of a rangeless list promotes to the cached full decode — the
+        few extra blocks cost one vectorized pass and every later query on
+        this cursor gets O(1) block access; below that the per-block path
+        keeps the decoded-work bound at O(alive blocks)."""
+        if blocks_idx.size == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if self.lo is None and (self._full is not None
+                                or blocks_idx.size * 10 >= self.n_blocks * 9):
+            ids, sc = self._decode_full(scorer_fn)
+            if blocks_idx.size == self.n_blocks:
+                return ids, sc
+            keep = np.zeros(ids.size, dtype=bool)
+            for b in blocks_idx:                 # ≤ n_blocks slice flags
+                keep[self._psum[b]:self._psum[b + 1]] = True
+            return ids[keep], sc[keep]
+        parts = [self.decode_block(int(b), scorer_fn) for b in blocks_idx]
         return (np.concatenate([p[0] for p in parts]),
                 np.concatenate([p[1] for p in parts]))
 
@@ -201,13 +249,28 @@ def _make_scorer(scorer: str, avgdl: float, k1: float, b: float):
 
 def _merge_acc(acc_ids: np.ndarray, acc_sc: np.ndarray,
                ids: np.ndarray, sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Accumulator (sorted by docid) ∪ new list contributions."""
-    all_ids = np.concatenate([acc_ids, ids])
-    all_sc = np.concatenate([acc_sc, sc])
-    uniq, inv = np.unique(all_ids, return_inverse=True)
-    summed = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(summed, inv, all_sc)
-    return uniq.astype(np.int64), summed
+    """Accumulator ∪ one list's contributions — O(n+m) sorted merge.
+
+    Both inputs are docid-sorted and duplicate-free (the accumulator by
+    construction, the list because one posting list holds each docid once
+    and decode_selected preserves block order), so duplicates are located
+    with one searchsorted and new docids spliced with one np.insert —
+    replacing the old np.unique (a full O((n+m)·log) re-sort per list,
+    the dominant cost for multi-head-term queries at millions of postings)."""
+    if acc_ids.size == 0:
+        return ids.astype(np.int64, copy=True), sc.astype(np.float64, copy=True)
+    if ids.size == 0:
+        return acc_ids, acc_sc
+    pos = np.searchsorted(acc_ids, ids)
+    pos_c = np.minimum(pos, acc_ids.size - 1)
+    dup = acc_ids[pos_c] == ids
+    out_sc = acc_sc.copy()
+    out_sc[pos[dup]] += sc[dup]                 # dup positions are unique
+    new = ~dup
+    if not new.any():
+        return acc_ids, out_sc
+    return (np.insert(acc_ids, pos[new], ids[new]),
+            np.insert(out_sc, pos[new], sc[new]))
 
 
 def _theta(acc_sc: np.ndarray, k: int) -> float:
@@ -216,78 +279,137 @@ def _theta(acc_sc: np.ndarray, k: int) -> float:
     return float(np.partition(acc_sc, acc_sc.size - k)[acc_sc.size - k])
 
 
+def _block_window(cur: _ListCursor) -> np.ndarray:
+    """Ascending indices of the blocks that can overlap the cursor's
+    [lo, hi) docid range (all blocks when rangeless)."""
+    if cur.lo is None:
+        return np.arange(cur.n_blocks)
+    b_lo = int(np.searchsorted(cur.last_docids, cur.lo, side="left"))
+    b_hi = min(int(np.searchsorted(cur.last_docids, cur.hi - 1,
+                                   side="left")) + 1, cur.n_blocks)
+    return np.arange(b_lo, b_hi)
+
+
+def _seed_theta(cur: _ListCursor, window: np.ndarray, k: int,
+                scorer_fn) -> float:
+    """Lower bound on the final θ: decode blocks in DESCENDING block-max
+    order until ≥ k postings from ≥ min(4, |window|) blocks are seen, and
+    take the k-th best score.  θ_lb ≤ θ_final because the final top-k is
+    over a superset of the seed, so every prune proved against θ_lb − eps
+    is proved against θ_final − eps (decoded seed blocks are cached — the
+    main pass below re-reads them for free)."""
+    order = window[np.argsort(-cur.block_ubs[window], kind="stable")]
+    min_blocks = min(4, order.size)
+    sc_parts: list[np.ndarray] = []
+    got = 0
+    for n_seed, b in enumerate(order, 1):
+        _, s = cur.decode_block(int(b), scorer_fn)
+        sc_parts.append(s)
+        got += s.size
+        if got >= k and n_seed >= min_blocks:
+            break
+    if got < k:
+        return -np.inf
+    return _theta(np.concatenate(sc_parts), k)
+
+
 def _seed_first_list(cur: _ListCursor, k: int, rest0: float, scorer_fn,
                      eps: float) -> tuple[np.ndarray, np.ndarray]:
     """Block-max decode of the FIRST essential list (empty accumulator):
-    blocks are processed in DESCENDING block-max order, maintaining θ = the
-    k-th best score seen so far; once the next block's bound (its block max
-    + rest0, the σ-sum every other list could still add) falls below θ − eps,
-    every remaining block is provably out of the rounded top-k and is never
-    decoded.  This is what bounds a single-term head-query (rest0 = 0) to
-    ~k/block_size block decodes instead of the whole 10^6-posting list
+    θ_lb is seeded from the highest-block-max blocks (_seed_theta), then
+    every block whose bound (its block max + rest0, the σ-sum every other
+    list could still add) falls below θ_lb − eps is provably out of the
+    rounded top-k and is never decoded; the survivors are decoded in ONE
+    vectorized pass (decode_selected) instead of a per-block Python loop.
+    This bounds a head-term list to the seed blocks plus the alive set
     (VERDICT round 4 #4; the reference's nextGEQ likewise never decodes
     skipped blocks, Index.cpp:181-214).
 
     Soundness of skipping: a doc in a skipped block has true total score
-    ≤ block_ub + rest0 < θ − eps ≤ θ_final − eps, so it cannot enter the
+    ≤ block_ub + rest0 < θ_lb − eps ≤ θ_final − eps, so it cannot enter the
     rounded top-k; its absence from the accumulator only ever under-counts
-    docs that the final keep filter drops anyway (see maxscore_query)."""
-    order = np.argsort(-cur.block_ubs, kind="stable")
-    ids_parts: list[np.ndarray] = []
-    sc_parts: list[np.ndarray] = []
-    theta = -np.inf
-    n_seen = 0
-    next_recalc = k
-    for b in order:
-        if theta != -np.inf and cur.block_ubs[b] + rest0 < theta - eps:
-            break
-        i, s = cur.decode_block(int(b), scorer_fn)
-        ids_parts.append(i)
-        sc_parts.append(s)
-        n_seen += s.size
-        # θ recompute is O(n_seen); amortize it (recalc on ~doubling) — a
-        # stale θ only delays the cutoff, never prunes wrongly
-        if n_seen >= next_recalc:
-            theta = _theta(np.concatenate(sc_parts), k)
-            next_recalc = max(n_seen * 2, k)
-    if not ids_parts:
+    docs that the final keep filter drops anyway (see maxscore_query).
+    Returns docid-sorted (docids, scores) — _merge_acc relies on it."""
+    window = _block_window(cur)
+    if window.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    return np.concatenate(ids_parts), np.concatenate(sc_parts)
+    theta_lb = _seed_theta(cur, window, k, scorer_fn)
+    if theta_lb == -np.inf:
+        alive = window
+    else:
+        alive = window[cur.block_ubs[window] + rest0 >= theta_lb - eps]
+    return cur.decode_selected(alive, scorer_fn)
 
 
 def _single_list_topk(cur: _ListCursor, k: int, scorer_fn,
                       eps: float) -> tuple[np.ndarray, np.ndarray]:
-    """Single-list (one-term, unsalted) top-k: iterate blocks in STORAGE
-    (docid) order, skipping any block whose best possible ROUNDED score
-    cannot beat the current k-th best — including exact ties, which the
-    docid-asc tie-break already awards to the earlier (smaller-docid)
-    blocks.  Handles the degenerate df==N head term (idf 0, every score
-    ties at 0): after ceil(k/block_size) blocks the remaining list is never
-    decoded.  Only valid when NO other list can add score (tie-break
-    reasoning is on FINAL scores), so maxscore_query uses it exclusively
-    for len(lists)==1."""
+    """Single-list (one-term, unsalted) top-k, fully tie-resolved: seed a
+    θ lower bound from the highest-block-max blocks, decode every block
+    whose ROUNDED block max could still reach the rounded k-th score in ONE
+    vectorized pass, then shrink to the exact top-k under the canonical
+    (rounded score desc, docid asc) total order.  Keeping blocks whose
+    rounded max EQUALS the rounded θ_lb means every possible k-th-place tie
+    is decoded, so the docid-asc winners among ties are chosen exactly —
+    and the ≤ k returned rows make the caller's final lexsort O(k), where
+    the old return-everything contract made a weakly-prunable head term
+    (near-uniform block maxima) lexsort millions of rows.  Only valid when
+    NO other list can add score (tie reasoning is on FINAL scores), so
+    maxscore_query uses it exclusively for len(lists)==1."""
     decimals = int(round(-np.log10(eps))) if eps > 0 else None
 
-    def grid(x: float) -> float:
-        return x if decimals is None else float(np.round(x, decimals))
+    def grid(x):
+        return x if decimals is None else np.round(x, decimals)
 
-    ids_parts: list[np.ndarray] = []
-    sc_parts: list[np.ndarray] = []
-    top = np.empty(0, dtype=np.float64)       # k best so far, ascending
-    for b in range(cur.n_blocks):
-        # k accumulated docs already round ≥ this block's max: every doc
-        # here rounds ≤ that, and earlier blocks hold smaller docids, so
-        # the tie-break seals the loss — skip without decoding
-        if top.size >= k and grid(top[0]) >= grid(float(cur.block_ubs[b])):
-            continue
-        i, s = cur.decode_block(b, scorer_fn)
-        ids_parts.append(i)
-        sc_parts.append(s)
-        if s.size:
-            top = np.sort(np.concatenate([top, s]))[-k:]
-    if not ids_parts:
+    window = _block_window(cur)
+    if window.size == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    return np.concatenate(ids_parts), np.concatenate(sc_parts)
+
+    if cur.sigma <= 0.0:
+        # df==N degenerate: idf 0, every score ties at 0, ranking is pure
+        # docid-asc — the k smallest in-range docids live in the first
+        # in-window blocks; never decode the rest
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
+        got = 0
+        for b in window:
+            p = cur.decode_block(int(b), scorer_fn)
+            parts.append(p)
+            got += p[0].size
+            if got >= k:
+                break
+        if not parts:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        ids = np.concatenate([p[0] for p in parts])[:k]
+        sc = np.concatenate([p[1] for p in parts])[:k]
+        return ids, sc
+
+    theta_lb = _seed_theta(cur, window, k, scorer_fn)
+    if theta_lb == -np.inf:
+        alive = window
+    else:
+        alive = window[grid(cur.block_ubs[window]) >= grid(theta_lb)]
+    if alive.size == cur.n_blocks and cur.lo is None:
+        ids, sc = cur._decode_full(scorer_fn)   # views — no 10^7-row copy
+    else:
+        ids, sc = cur.decode_selected(alive, scorer_fn)
+    if theta_lb != -np.inf and sc.size > k:
+        # candidate pre-filter: grid(sc) ≥ grid(θ_final_kth) ≥ grid(θ_lb)
+        # implies sc ≥ θ_lb − eps (eps is one grid step), so this single
+        # comparison keeps every canonical-top-k doc and every possible
+        # k-th-place tie while dropping the bulk of a weakly-prunable head
+        # list BEFORE the rounding/partition work below
+        cand = sc >= theta_lb - eps
+        ids, sc = ids[cand], sc[cand]
+    if sc.size <= k:
+        return ids, sc
+    # exact top-k under (rounded score desc, docid asc): ids is docid-sorted,
+    # so the first (k − |strictly above|) rounded-ties ARE the tie winners
+    g = grid(sc)
+    kth = np.partition(g, g.size - k)[g.size - k]
+    keep = g > kth
+    tie_pos = np.flatnonzero(g == kth)[: k - int(np.count_nonzero(keep))]
+    keep[tie_pos] = True
+    return ids[keep], sc[keep]
 
 
 def _pruned_decode(cur: _ListCursor, acc_ids: np.ndarray, acc_sc: np.ndarray,
@@ -307,16 +429,12 @@ def _pruned_decode(cur: _ListCursor, acc_ids: np.ndarray, acc_sc: np.ndarray,
         need = acc_sc[in_range] + cur.block_ubs[blk[in_range]] + rest_j \
             >= theta - eps
         alive[blk[in_range][need]] = True
-    live = np.flatnonzero(alive)
-    if live.size == 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    parts = [cur.decode_block(int(b), scorer_fn) for b in live]
-    return (np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]))
+    return cur.decode_selected(np.flatnonzero(alive), scorer_fn)
 
 
 def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
-                   eps: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                   eps: float = 0.0,
+                   groups: list | None = None) -> tuple[np.ndarray, np.ndarray]:
     """MaxScore over one query's posting lists → (docids, scores) of the
     survivors (superset of the true top-k, all with exact scores).
 
@@ -324,17 +442,44 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
     θ − eps, so a doc whose ROUNDED score (at 10^-eps granularity) could tie
     the k-th doc is never pruned (see module docstring).
 
+    groups: optional per-cursor group keys (the query TERM).  Cursors
+    sharing a key are the docid-DISJOINT salted sub-shards of one logical
+    posting list, so a single document can gain at most max(sub σ) — not
+    Σ sub σ — from the group.  MaxScore therefore runs at GROUP granularity
+    (round 5): σ_g = max over the group's sub-lists, rest[] sums σ_g over
+    unprocessed GROUPS, and a one-term query over a salted head term takes
+    the single-list kernel once per disjoint sub-shard instead of
+    merge-summing sub-lists that can never share a doc.  Omitting groups
+    treats every cursor as its own group — correct for any input, and
+    identical to grouped behavior for unsalted terms.
+
     Phase 1 is BLOCK-max, not list-exhaustive (round 5): the first list
-    seeds θ via descending-block-max decode with early cutoff
-    (_seed_first_list); subsequent essential lists decode only alive blocks
-    (_pruned_decode).  Docs skipped this way have true totals < θ − eps, so
-    they either never enter the accumulator or reach the end under-counted
+    seeds a θ lower bound from its best blocks and decodes only blocks whose
+    bound survives (_seed_first_list); subsequent essential lists decode
+    only alive blocks (_pruned_decode); both decode the survivors in one
+    vectorized pass (decode_selected) and accumulate via an O(n+m) sorted
+    merge.  Docs skipped this way have true totals < θ − eps, so they
+    either never enter the accumulator or reach the end under-counted
     and strictly below the final keep threshold — survivors still carry
     exact scores."""
-    if len(lists) == 1:
-        # one-term, one-shard query: the tie-break-aware single-list kernel
-        # (covers the df==N idf-0 degenerate where every score ties)
-        return _single_list_topk(lists[0], k, scorer_fn, eps)
+    if groups is None:
+        glists = [[c] for c in lists]
+    else:
+        by_g: dict = {}
+        for g, c in zip(groups, lists):
+            by_g.setdefault(g, []).append(c)
+        glists = list(by_g.values())
+
+    if len(glists) == 1:
+        # one-term query: the tie-break-aware single-list kernel per
+        # (docid-disjoint) sub-shard — each returns its exact canonical
+        # top-k with exact scores, and the global top-k is a subset of
+        # their union (covers the df==N idf-0 degenerate per sub-list)
+        parts = [_single_list_topk(c, k, scorer_fn, eps) for c in glists[0]]
+        if len(parts) == 1:
+            return parts[0]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
 
     if all(c.sigma <= 0.0 for c in lists):
         # idf-0 degenerate on EVERY list (each query term has df == N, e.g.
@@ -360,9 +505,11 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
         ids = np.unique(np.concatenate(ids_parts))[:k]
         return ids, np.zeros(ids.size, dtype=np.float64)
 
-    lists = sorted(lists, key=lambda c: -c.sigma)
-    sigmas = np.array([c.sigma for c in lists], dtype=np.float64)
-    # rest[j] = σ-sum of lists AFTER j (still unprocessed when j is current)
+    # group σ = max over its disjoint sub-lists (one doc sees one sub-list)
+    glists = sorted(glists, key=lambda subs: -max(c.sigma for c in subs))
+    sigmas = np.array([max(c.sigma for c in subs) for subs in glists],
+                      dtype=np.float64)
+    # rest[j] = σ-sum of GROUPS after j (still unprocessed when j is current)
     rest = np.concatenate([np.cumsum(sigmas[::-1])[::-1][1:], [0.0]])
 
     acc_ids = np.empty(0, dtype=np.int64)
@@ -370,43 +517,58 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
     theta = -np.inf
     j = 0
     # phase 1 — score while an unseen doc could still reach top-k
-    while j < len(lists) and sigmas[j] + rest[j] >= theta - eps:
-        if theta == -np.inf and acc_ids.size == 0:
-            ids, sc = _seed_first_list(lists[j], k, rest[j], scorer_fn, eps)
-        else:
-            ids, sc = _pruned_decode(lists[j], acc_ids, acc_sc, theta,
-                                     rest[j], scorer_fn, eps)
-        acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, ids, sc)
-        theta = _theta(acc_sc, k)
+    while j < len(glists) and sigmas[j] + rest[j] >= theta - eps:
+        for cur in glists[j]:
+            # rest[j] bounds an unseen doc's future gain: later GROUPS only
+            # — this group's other sub-lists cannot contain the same doc
+            if theta == -np.inf and acc_ids.size == 0:
+                ids, sc = _seed_first_list(cur, k, rest[j], scorer_fn, eps)
+            else:
+                ids, sc = _pruned_decode(cur, acc_ids, acc_sc, theta,
+                                         rest[j], scorer_fn, eps)
+            acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, ids, sc)
+            theta = _theta(acc_sc, k)
         j += 1
-    # phase 2 — probe remaining lists only at surviving candidates
-    for jj in range(j, len(lists)):
-        cur = lists[jj]
+        if theta != -np.inf and acc_sc.size > k:
+            # accumulator prune: a doc whose score plus every unprocessed
+            # group's σ (rest[j-1] = groups after the one just processed)
+            # cannot reach θ − eps is provably below θ_final − eps — drop
+            # it now so later merges/probes stay near O(k).  Same soundness
+            # story as block skips: θ's k supporting docs all survive the
+            # prune (their scores ≥ θ > the dropped doc's bound), so a
+            # dropped doc resurfacing via a later list forces acc size > k
+            # and the final keep filter discards its under-counted score.
+            keep = acc_sc + rest[j - 1] >= theta - eps
+            if not keep.all():
+                acc_ids, acc_sc = acc_ids[keep], acc_sc[keep]
+    # phase 2 — probe remaining groups only at surviving candidates
+    for jj in range(j, len(glists)):
         keep = acc_sc + sigmas[jj] + rest[jj] >= theta - eps
         if not keep.any():
             continue
-        cand_ids = acc_ids[keep]
-        cand_pos = np.flatnonzero(keep)
-        blk = np.searchsorted(cur.last_docids, cand_ids, side="left")
-        in_range = blk < cur.n_blocks
-        if not in_range.any():
-            continue
-        cand_ids, cand_pos, blk = cand_ids[in_range], cand_pos[in_range], blk[in_range]
-        # block-max refinement: candidate survives only if this block's max
-        # keeps the bound alive
-        alive = acc_sc[cand_pos] + cur.block_ubs[blk] + rest[jj] >= theta - eps
-        if not alive.any():
-            continue
-        cand_ids, cand_pos, blk = cand_ids[alive], cand_pos[alive], blk[alive]
-        for b in np.unique(blk):
-            sel = blk == b
-            b_ids, b_sc = cur.decode_block(int(b), scorer_fn)
-            pos = np.searchsorted(b_ids, cand_ids[sel])
-            pos_ok = pos < b_ids.size
-            hit = np.zeros(sel.sum(), dtype=bool)
-            hit[pos_ok] = b_ids[pos[pos_ok]] == cand_ids[sel][pos_ok]
-            tgt = cand_pos[sel][hit]
-            acc_sc[tgt] += b_sc[pos[pos_ok][hit[pos_ok]]]
+        g_cand_ids = acc_ids[keep]
+        g_cand_pos = np.flatnonzero(keep)
+        for cur in glists[jj]:                  # each candidate hits ≤ 1
+            blk = np.searchsorted(cur.last_docids, g_cand_ids, side="left")
+            in_range = blk < cur.n_blocks
+            if not in_range.any():
+                continue
+            cand_ids = g_cand_ids[in_range]
+            cand_pos = g_cand_pos[in_range]
+            blk = blk[in_range]
+            # block-max refinement: candidate survives only if this block's
+            # max keeps the bound alive
+            alive = acc_sc[cand_pos] + cur.block_ubs[blk] + rest[jj] \
+                >= theta - eps
+            if not alive.any():
+                continue
+            cand_ids, cand_pos, blk = cand_ids[alive], cand_pos[alive], blk[alive]
+            span_ids, span_sc = cur.decode_selected(np.unique(blk), scorer_fn)
+            pos = np.searchsorted(span_ids, cand_ids)
+            pos_ok = pos < span_ids.size
+            hit = np.zeros(cand_ids.size, dtype=bool)
+            hit[pos_ok] = span_ids[pos[pos_ok]] == cand_ids[pos_ok]
+            acc_sc[cand_pos[hit]] += span_sc[pos[hit]]
         theta = _theta(acc_sc, k)
 
     if acc_sc.size > k:
@@ -602,7 +764,8 @@ def search_bmm(spark: SparkSession, index_root: str,
             qid = int(pdf["qid"].iloc[0])
             lists = [_ListCursor(row, scorer)
                      for row in pdf.itertuples(index=False)]
-            ids, sc = maxscore_query(lists, kk, scorer_fn, eps=eps)
+            ids, sc = maxscore_query(lists, kk, scorer_fn, eps=eps,
+                                     groups=pdf["term"].tolist())
             if rnd is not None:
                 sc = np.round(sc, rnd)
             order = np.lexsort((ids, -sc))[:kk]
@@ -633,7 +796,8 @@ def search_bmm(spark: SparkSession, index_root: str,
     def run_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
         lists = [_ListCursor(row, scorer) for row in pdf.itertuples(index=False)]
-        ids, sc = maxscore_query(lists, kk, scorer_fn, eps=eps)
+        ids, sc = maxscore_query(lists, kk, scorer_fn, eps=eps,
+                                 groups=pdf["term"].tolist())
         if rnd is not None:
             sc = np.round(sc, rnd)
         order = np.lexsort((ids, -sc))[:kk]

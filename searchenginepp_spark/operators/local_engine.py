@@ -134,7 +134,11 @@ class LocalSearcher:
                 if ids.size == 0:
                     continue
             else:
-                ids, sc = maxscore_query(lists, k, scorer_fn, eps=eps)
+                # group salted sub-shards by term: disjoint docid sets, so
+                # MaxScore bounds each group by max(sub σ), not Σ sub σ
+                grp = [t for t in terms for _ in cursors_by_term.get(t, [])]
+                ids, sc = maxscore_query(lists, k, scorer_fn, eps=eps,
+                                         groups=grp)
             if round_to is not None:
                 sc = np.round(sc, round_to)
             order = np.lexsort((ids, -sc))[:k]

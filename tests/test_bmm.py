@@ -129,7 +129,10 @@ def test_maxscore_prunes_blocks(spark, built):
     ids, sc = maxscore_query(cursors, 10, fn)
     assert ids.size >= 10
     total_blocks = sum(c.n_blocks for c in by_term["int"])
-    decoded = sum(len(c._cache) for c in by_term["int"])
+    # a cursor promoted to the cached full decode (_full) cleared its
+    # per-block cache — count it as having decoded every block
+    decoded = sum(c.n_blocks if c._full is not None else len(c._cache)
+                  for c in by_term["int"])
     assert decoded < total_blocks, (
         f"head-term lists fully decoded ({decoded}/{total_blocks}) — pruning inert")
 

@@ -98,3 +98,177 @@ def test_maxscore_survivor_scores_are_exact_or_underestimates(data):
     ids, scores = maxscore_query(cursors, k, scorer_fn)
     for d, s in zip(ids.tolist(), scores.tolist()):
         assert s <= truth[d] + 1e-9
+
+
+@st.composite
+def one_list(draw):
+    df = draw(st.integers(1, 120))
+    docids = sorted(draw(st.sets(st.integers(1, 400), min_size=df,
+                                 max_size=df)))
+    # narrow tf/doclen ranges → many exact and rounded score ties
+    tfs = [draw(st.integers(1, 3)) for _ in docids]
+    dls = [draw(st.sampled_from([50, 100])) for _ in docids]
+    k = draw(st.integers(1, 12))
+    block = draw(st.sampled_from([4, 16, 64]))
+    round_to = draw(st.sampled_from([None, 6, 2]))
+    df_global = draw(st.sampled_from([df, int(N_DOCS_F)]))  # incl. idf==0
+    return docids, tfs, dls, k, block, round_to, df_global
+
+
+@settings(max_examples=80, deadline=None)
+@given(one_list())
+def test_single_list_topk_exact_under_canonical_order(data):
+    """The single-list kernel + the caller's canonicalization (round →
+    lexsort by (-score, docid) → take k) must equal the brute-force top-k
+    under the same total order — including rounded-tie groups straddling
+    the k boundary (round 5: the kernel itself shrinks to ≤ k rows using
+    the docid-asc tie-break, so the shrink must pick exactly the canonical
+    winners) and the df==N idf-0 degenerate where every score ties at 0."""
+    docids, tfs, dls, k, block, round_to, df_global = data
+    scorer_fn = _make_scorer("bm25", AVGDL, BM25_K1, BM25_B)
+    cur = _make_cursor(docids, tfs, dls, df_global=df_global,
+                       block_size=block)
+    eps = 10.0 ** -round_to if round_to is not None else 0.0
+
+    ids, sc = maxscore_query([cur], k, scorer_fn, eps=eps)
+    assert ids.size <= max(k, 1) + block  # kernel pre-shrinks its output
+    if round_to is not None:
+        sc = np.round(sc, round_to)
+    order = np.lexsort((ids, -sc))[:k]
+    got = list(zip(ids[order].tolist(), sc[order].tolist()))
+
+    true_sc = scorer_fn(np.array(tfs, dtype=np.float64),
+                        np.array(dls, dtype=np.float64), cur.idf)
+    if round_to is not None:
+        true_sc = np.round(true_sc, round_to)
+    want = sorted(zip(docids, true_sc.tolist()),
+                  key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+
+
+@st.composite
+def acc_and_list(draw):
+    n = draw(st.integers(0, 80))
+    m = draw(st.integers(0, 80))
+    acc_ids = sorted(draw(st.sets(st.integers(1, 120), min_size=n,
+                                  max_size=n)))
+    ids = sorted(draw(st.sets(st.integers(1, 120), min_size=m, max_size=m)))
+    acc_sc = [draw(st.floats(0.0, 10.0, allow_nan=False)) for _ in acc_ids]
+    sc = [draw(st.floats(0.0, 10.0, allow_nan=False)) for _ in ids]
+    return acc_ids, acc_sc, ids, sc
+
+
+@settings(max_examples=80, deadline=None)
+@given(acc_and_list())
+def test_merge_acc_matches_unique_reference(data):
+    """The O(n+m) sorted merge (round 5) must equal the old np.unique +
+    add.at reference on any pair of docid-sorted unique inputs, and must
+    not mutate its inputs (decode_selected may return cursor-cached
+    arrays)."""
+    from searchenginepp_spark.operators.bmm import _merge_acc
+
+    acc_ids, acc_sc, ids, sc = data
+    a_i = np.array(acc_ids, dtype=np.int64)
+    a_s = np.array(acc_sc, dtype=np.float64)
+    l_i = np.array(ids, dtype=np.int64)
+    l_s = np.array(sc, dtype=np.float64)
+    a_i0, a_s0, l_i0, l_s0 = a_i.copy(), a_s.copy(), l_i.copy(), l_s.copy()
+
+    got_i, got_s = _merge_acc(a_i, a_s, l_i, l_s)
+
+    all_i = np.concatenate([a_i0, l_i0])
+    all_s = np.concatenate([a_s0, l_s0])
+    uniq, inv = np.unique(all_i, return_inverse=True)
+    summed = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(summed, inv, all_s)
+
+    np.testing.assert_array_equal(got_i, uniq.astype(np.int64))
+    np.testing.assert_allclose(got_s, summed, rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(a_i, a_i0)
+    np.testing.assert_array_equal(l_i, l_i0)
+    np.testing.assert_array_equal(l_s, l_s0)
+
+
+def test_decode_selected_full_promotion_parity():
+    """decode_selected must return identical postings whether it decodes
+    per block or slices the promoted cached full decode, and decode_block
+    served from _full must equal a fresh per-block decode."""
+    rng = np.random.default_rng(7)
+    docids = np.sort(rng.choice(5000, size=900, replace=False))
+    tfs = rng.integers(1, 9, size=900)
+    dls = rng.integers(20, 300, size=900)
+    scorer_fn = _make_scorer("bm25", AVGDL, BM25_K1, BM25_B)
+
+    fresh = _make_cursor(docids, tfs, dls, df_global=900, block_size=64)
+    sel = np.array([0, 3, 4, 5, 9, fresh.n_blocks - 1], dtype=np.int64)
+    want = fresh.decode_selected(sel, scorer_fn)  # minority → per-block path
+    assert fresh._full is None
+
+    warm = _make_cursor(docids, tfs, dls, df_global=900, block_size=64)
+    warm.decode_all(scorer_fn)                    # promotes to _full
+    assert warm._full is not None and not warm._cache
+    got = warm.decode_selected(sel, scorer_fn)    # sliced from _full
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_allclose(got[1], want[1], rtol=0, atol=0)
+
+    b = int(fresh.n_blocks // 2)
+    np.testing.assert_array_equal(warm.decode_block(b, scorer_fn)[0],
+                                  fresh.decode_block(b, scorer_fn)[0])
+
+
+@st.composite
+def salted_query_lists(draw):
+    """2-3 logical terms, each possibly SPLIT into docid-disjoint salt
+    shards (hash-interleaved docids, like the build's salted head terms)."""
+    n_terms = draw(st.integers(1, 3))
+    terms = []
+    for _ in range(n_terms):
+        df = draw(st.integers(2, 80))
+        docids = sorted(draw(st.sets(st.integers(1, 250), min_size=df,
+                                     max_size=df)))
+        tfs = [draw(st.integers(1, 9)) for _ in docids]
+        dls = [draw(st.integers(20, 300)) for _ in docids]
+        n_salts = draw(st.integers(1, 3))
+        terms.append((docids, tfs, dls, n_salts))
+    k = draw(st.integers(1, 12))
+    block = draw(st.sampled_from([4, 16]))
+    return terms, k, block
+
+
+@settings(max_examples=60, deadline=None)
+@given(salted_query_lists())
+def test_maxscore_grouped_salted_matches_exact(data):
+    """maxscore_query with groups= (round 5): salt shards of one term are
+    docid-disjoint sub-lists; the grouped kernel must still contain every
+    true top-k doc with its exact score, where truth scores each doc ONCE
+    per term (σ of a group is max, not Σ — the pruning must stay sound
+    with the tighter bound)."""
+    terms, k, block = data
+    scorer_fn = _make_scorer("bm25", AVGDL, BM25_K1, BM25_B)
+
+    cursors, groups = [], []
+    truth: dict[int, float] = {}
+    for g, (docids, tfs, dls, n_salts) in enumerate(terms):
+        df_global = len(docids)
+        for s in range(n_salts):
+            sel = [i for i, d in enumerate(docids) if d % n_salts == s]
+            if not sel:
+                continue
+            cur = _make_cursor([docids[i] for i in sel],
+                               [tfs[i] for i in sel],
+                               [dls[i] for i in sel],
+                               df_global=df_global, block_size=block)
+            cursors.append(cur)
+            groups.append(f"t{g}")
+        idf = float(np.log2(N_DOCS_F / df_global))
+        sc = scorer_fn(np.array(tfs, dtype=np.float64),
+                       np.array(dls, dtype=np.float64), idf)
+        for d, s_ in zip(docids, sc):
+            truth[d] = truth.get(d, 0.0) + float(s_)
+
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    ids, scores = maxscore_query(cursors, k, scorer_fn, groups=groups)
+    got = dict(zip(ids.tolist(), scores.tolist()))
+    for d, s_ in want:
+        assert d in got, f"true top-{k} doc {d} pruned (grouped)"
+        assert got[d] == pytest.approx(s_, abs=1e-12)
