@@ -91,6 +91,10 @@ def main() -> None:
     ap.add_argument("--corpus", default="",
                     help="reuse an existing corpus parquet (must have been "
                          "generated with the same --docs and --parts)")
+    ap.add_argument("--out", default="round5_cache_fallback_2M.json",
+                    help="output file name under measurements/ (so the "
+                         "32-partition hard-failure pair does not clobber "
+                         "the 128-partition spill A/B)")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="sepp_cachefb_")
@@ -113,7 +117,7 @@ def main() -> None:
                 try:
                     r = one_run(m, args.docs, wd, corpus_src, args.parts)
                 except Exception as exc:        # keep the other runs
-                    errors.append(f"{m} run {i}: {exc}")
+                    errors.append(f"{m} run {i}: {str(exc)[:2000]}")
                     print(f"[{m} run {i}] FAILED: {exc}", flush=True)
                     shutil.rmtree(wd, ignore_errors=True)
                     continue
@@ -142,7 +146,7 @@ def main() -> None:
         summary["auto_speedup_vs_memory"] = round(
             bests["memory"] / bests["auto"], 3)
     os.makedirs(f"{REPO}/measurements", exist_ok=True)
-    out_path = f"{REPO}/measurements/round5_cache_fallback_2M.json"
+    out_path = f"{REPO}/measurements/{args.out}"
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
