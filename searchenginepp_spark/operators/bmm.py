@@ -279,6 +279,60 @@ def _theta(acc_sc: np.ndarray, k: int) -> float:
     return float(np.partition(acc_sc, acc_sc.size - k)[acc_sc.size - k])
 
 
+# Accumulator size that triggers the probe-seeded θ boost, and the number of
+# top-partial-score candidates probed.  Module globals so tests can force the
+# boost path at toy scale.
+_BOOST_MIN = 65_536
+_BOOST_M = 4_096
+
+
+def _boost_theta(rest_groups: list, acc_ids: np.ndarray, acc_sc: np.ndarray,
+                 k: int, scorer_fn) -> float:
+    """Tighter θ lower bound for head-term-heavy queries: probe the top-m
+    accumulator docs' EXACT contributions from every unprocessed group and
+    return the k-th best exact total.  Any k real docs' exact totals
+    lower-bound θ_final, so every existing prune stays sound under the
+    boosted θ.  The probe gains are NOT folded into the accumulator —
+    phase 2 re-adds them at surviving candidates — and a probe-supported doc
+    always survives the accumulator prune: its unprocessed-group gains are
+    ≤ rest, so acc_sc + rest ≥ acc_sc + gains ≥ θ_boost.
+
+    Why (round 5, measured): on a two-universal-head-term query
+    (`int return`, both df ≈ N) block pruning has zero power — θ from the
+    first list alone (its k-th best SINGLE-list score) sits below the second
+    list's σ, so phase 1 used to decode and O(N)-merge the full second list.
+    The probed θ lands within ~1% of θ_final and shrinks the surviving
+    accumulator ~20x (keep 100% → 4.7% at 2.45M-posting lists) before the
+    second list is touched; each probed group decodes only the blocks the
+    m candidates land in (≤ m blocks — for a selective unprocessed list
+    that is far less than a full pass, for a universal list it is the same
+    blocks phase 1 would have decoded anyway)."""
+    if acc_sc.size <= k:
+        return -np.inf
+    m = min(acc_sc.size, max(_BOOST_M, 4 * k))
+    idx = np.argpartition(acc_sc, acc_sc.size - m)[acc_sc.size - m:]
+    cand = acc_ids[idx]
+    tot = acc_sc[idx].copy()
+    for subs in rest_groups:
+        for cur in subs:                        # each cand hits ≤ 1 sub-list
+            blk = np.searchsorted(cur.last_docids, cand, side="left")
+            in_range = blk < cur.n_blocks
+            if not in_range.any():
+                continue
+            mask = np.zeros(cur.n_blocks, dtype=bool)
+            mask[blk[in_range]] = True
+            span_ids, span_sc = cur.decode_selected(np.flatnonzero(mask),
+                                                    scorer_fn)
+            if span_ids.size == 0:
+                continue
+            pos = np.searchsorted(span_ids, cand)
+            ok = pos < span_ids.size
+            hit = np.zeros(cand.size, dtype=bool)
+            hit[ok] = span_ids[pos[ok]] == cand[ok]
+            tot[hit] += span_sc[pos[hit]]
+    return _theta(tot, k)
+
+
 def _block_window(cur: _ListCursor) -> np.ndarray:
     """Ascending indices of the blocks that can overlap the cursor's
     [lo, hi) docid range (all blocks when rangeless)."""
@@ -527,8 +581,18 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
                 ids, sc = _pruned_decode(cur, acc_ids, acc_sc, theta,
                                          rest[j], scorer_fn, eps)
             acc_ids, acc_sc = _merge_acc(acc_ids, acc_sc, ids, sc)
-            theta = _theta(acc_sc, k)
+            # max(): θ only ever tightens — a probe-boosted θ (below) can
+            # exceed the accumulator's own k-th partial score until phase 2
+            # folds the probed gains in
+            theta = max(theta, _theta(acc_sc, k))
         j += 1
+        if j < len(glists) and acc_sc.size > _BOOST_MIN:
+            # head-term-sized accumulator with groups still unprocessed:
+            # seed θ from exact probed totals so the prune below bites
+            # (selective-first σ ordering means this never fires on the
+            # small accumulators of mixed selective+head queries)
+            theta = max(theta, _boost_theta(glists[j:], acc_ids, acc_sc,
+                                            k, scorer_fn))
         if theta != -np.inf and acc_sc.size > k:
             # accumulator prune: a doc whose score plus every unprocessed
             # group's σ (rest[j-1] = groups after the one just processed)
@@ -569,7 +633,7 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
             hit = np.zeros(cand_ids.size, dtype=bool)
             hit[pos_ok] = span_ids[pos[pos_ok]] == cand_ids[pos_ok]
             acc_sc[cand_pos[hit]] += span_sc[pos[hit]]
-        theta = _theta(acc_sc, k)
+        theta = max(theta, _theta(acc_sc, k))
 
     if acc_sc.size > k:
         # drop provably-out docs; partial-scored prunees sit strictly below

@@ -272,3 +272,82 @@ def test_maxscore_grouped_salted_matches_exact(data):
     for d, s_ in want:
         assert d in got, f"true top-{k} doc {d} pruned (grouped)"
         assert got[d] == pytest.approx(s_, abs=1e-12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(query_lists())
+def test_maxscore_boosted_theta_contains_exact_topk(data):
+    """Same exact-top-k containment as test_maxscore_contains_exact_topk but
+    with the probe-seeded θ boost FORCED (round 5: _BOOST_MIN patched to 0 so
+    even toy accumulators take the boost path).  θ_boost is the k-th best of
+    exact probed totals of real docs, hence ≤ θ_final — every prune must stay
+    sound and every true top-k doc must survive with its exact score."""
+    import searchenginepp_spark.operators.bmm as bmm_mod
+
+    lists, k, block = data
+    scorer_fn = _make_scorer("bm25", AVGDL, BM25_K1, BM25_B)
+    cursors = [_make_cursor(d, t, dl, df_global=len(d), block_size=block)
+               for d, t, dl in lists]
+    truth: dict[int, float] = {}
+    for (docids, tfs, dls), cur in zip(lists, cursors):
+        sc = scorer_fn(np.array(tfs, dtype=np.float64),
+                       np.array(dls, dtype=np.float64), cur.idf)
+        for d, s in zip(docids, sc):
+            truth[d] = truth.get(d, 0.0) + float(s)
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    old_min, old_m = bmm_mod._BOOST_MIN, bmm_mod._BOOST_M
+    bmm_mod._BOOST_MIN, bmm_mod._BOOST_M = 0, 4
+    try:
+        ids, scores = maxscore_query(cursors, k, scorer_fn)
+    finally:
+        bmm_mod._BOOST_MIN, bmm_mod._BOOST_M = old_min, old_m
+    got = dict(zip(ids.tolist(), scores.tolist()))
+    for d, s in want:
+        assert d in got, f"true top-{k} doc {d} pruned under boosted theta"
+        assert got[d] == pytest.approx(s, abs=1e-12)
+
+
+def test_boost_theta_is_lower_bound_and_triggers_on_head_terms():
+    """Deterministic head-term shape (two dense overlapping lists): the
+    boosted θ must be ≤ θ_final yet ≥ the unboosted (single-list) θ, and the
+    boosted query must return the exact canonical top-k."""
+    import searchenginepp_spark.operators.bmm as bmm_mod
+    from searchenginepp_spark.operators.bmm import _boost_theta, _theta
+
+    n = int(N_DOCS_F)          # df < n_docs_f keeps idf positive (head term)
+    k = 10
+    scorer_fn = _make_scorer("bm25", AVGDL, BM25_K1, BM25_B)
+
+    def dense(frac, seed):
+        r = np.random.default_rng(seed)
+        ids = np.sort(r.choice(n, size=int(n * frac), replace=False))
+        tfs = 1 + r.geometric(0.6, size=ids.size)
+        dls = r.integers(50, 200, size=ids.size)
+        return ids.tolist(), tfs.tolist(), dls.tolist()
+
+    l1, l2 = dense(0.98, 1), dense(0.97, 2)
+    c1 = _make_cursor(*l1, df_global=len(l1[0]), block_size=64)
+    c2 = _make_cursor(*l2, df_global=len(l2[0]), block_size=64)
+
+    i1, s1 = c1.decode_all(scorer_fn)
+    theta_single = _theta(s1, k)
+    theta_boost = _boost_theta([[c2]], i1, s1, k, scorer_fn)
+
+    truth: dict[int, float] = {}
+    for (docids, tfs, dls), cur in zip((l1, l2), (c1, c2)):
+        sc = scorer_fn(np.array(tfs, dtype=np.float64),
+                       np.array(dls, dtype=np.float64), cur.idf)
+        for d, s in zip(docids, sc):
+            truth[d] = truth.get(d, 0.0) + float(s)
+    ranked = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))
+    theta_final = ranked[k - 1][1]
+
+    assert theta_single <= theta_boost <= theta_final + 1e-12
+    assert theta_boost > theta_single          # the boost actually tightens
+
+    ids, scores = maxscore_query([c1, c2], k, scorer_fn, eps=1e-6,
+                                 groups=["a", "b"])
+    got = dict(zip(ids.tolist(), scores.tolist()))
+    for d, s in ranked[:k]:
+        assert d in got and got[d] == pytest.approx(s, abs=1e-12)
