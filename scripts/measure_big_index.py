@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_500_000)
     ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--out", default="measurements/round5_2p5M_build.json",
+                    help="output JSON path relative to the repo root")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="sepp_bigidx_")
@@ -95,7 +97,7 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
     os.makedirs(f"{REPO}/measurements", exist_ok=True)
-    path = f"{REPO}/measurements/round5_2p5M_build.json"
+    path = os.path.join(REPO, args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in

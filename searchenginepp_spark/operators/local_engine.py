@@ -150,36 +150,40 @@ class LocalSearcher:
 
     def _conjunctive(self, terms, cursors_by_term, scorer_fn):
         """Exact AND-merge: per term, union its (salted) sub-lists, then
-        intersect across terms and sum scores."""
+        intersect across terms and sum scores.  Fully vectorized (round 5 —
+        the old per-doc Python dict walk cost seconds on two head-term
+        lists): the running intersection is docid-sorted, each next term
+        located with one searchsorted; terms are visited smallest-df first
+        so the running set shrinks as fast as the data allows (intersection
+        + sum is order-independent, so ranking is unchanged)."""
+        uniq = list(dict.fromkeys(terms))       # dedupe, keep order
+        uniq.sort(key=lambda t: self.df_by_term.get(t, 0))
         ids = None
-        acc: dict[int, float] = {}
-        for t in dict.fromkeys(terms):          # dedupe, keep order
+        acc = None
+        for t in uniq:
             t_ids, t_sc = [], []
             for cur in cursors_by_term[t]:
                 i, s = cur.decode_all(scorer_fn)
                 t_ids.append(i)
                 t_sc.append(s)
-            t_ids = np.concatenate(t_ids)
-            t_sc = np.concatenate(t_sc)
+            t_ids = np.concatenate(t_ids)       # salted sub-lists are
+            t_sc = np.concatenate(t_sc)         # docid-disjoint → unique ids
             order = np.argsort(t_ids)
             t_ids, t_sc = t_ids[order], t_sc[order]
             if ids is None:
-                ids = t_ids
-                acc = dict(zip(t_ids.tolist(), t_sc.tolist()))
+                ids, acc = t_ids, t_sc
             else:
-                keep = np.isin(t_ids, ids)
-                t_ids, t_sc = t_ids[keep], t_sc[keep]
-                new_acc = {}
-                for d, s in zip(t_ids.tolist(), t_sc.tolist()):
-                    new_acc[d] = acc[d] + s
-                acc = new_acc
-                ids = t_ids
+                pos = np.searchsorted(t_ids, ids)
+                ok = pos < t_ids.size
+                hit = np.zeros(ids.size, dtype=bool)
+                hit[ok] = t_ids[pos[ok]] == ids[ok]
+                ids = ids[hit]
+                acc = acc[hit] + t_sc[pos[hit]]
             if ids.size == 0:
                 break
-        if not acc:
+        if ids is None or ids.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        a = np.array(sorted(acc), dtype=np.int64)
-        return a, np.array([acc[d] for d in a.tolist()], dtype=np.float64)
+        return ids, acc
 
     def _format(self, per_q, docno, out):
         for qid in sorted(per_q):
