@@ -166,10 +166,13 @@ class LocalSearcher:
                 i, s = cur.decode_all(scorer_fn)
                 t_ids.append(i)
                 t_sc.append(s)
-            t_ids = np.concatenate(t_ids)       # salted sub-lists are
-            t_sc = np.concatenate(t_sc)         # docid-disjoint → unique ids
-            order = np.argsort(t_ids)
-            t_ids, t_sc = t_ids[order], t_sc[order]
+            if len(t_ids) == 1:                 # unsalted: already sorted
+                t_ids, t_sc = t_ids[0], t_sc[0]
+            else:
+                t_ids = np.concatenate(t_ids)   # salted sub-lists are
+                t_sc = np.concatenate(t_sc)     # docid-disjoint → unique ids
+                order = np.argsort(t_ids)
+                t_ids, t_sc = t_ids[order], t_sc[order]
             if ids is None:
                 ids, acc = t_ids, t_sc
             else:
