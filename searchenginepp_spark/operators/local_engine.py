@@ -161,27 +161,46 @@ class LocalSearcher:
         ids = None
         acc = None
         for t in uniq:
-            t_ids, t_sc = [], []
-            for cur in cursors_by_term[t]:
-                i, s = cur.decode_all(scorer_fn)
-                t_ids.append(i)
-                t_sc.append(s)
-            if len(t_ids) == 1:                 # unsalted: already sorted
-                t_ids, t_sc = t_ids[0], t_sc[0]
-            else:
-                t_ids = np.concatenate(t_ids)   # salted sub-lists are
-                t_sc = np.concatenate(t_sc)     # docid-disjoint → unique ids
-                order = np.argsort(t_ids)
-                t_ids, t_sc = t_ids[order], t_sc[order]
             if ids is None:
-                ids, acc = t_ids, t_sc
+                # the smallest-df list seeds the running intersection
+                t_ids, t_sc = [], []
+                for cur in cursors_by_term[t]:
+                    i, s = cur.decode_all(scorer_fn)
+                    t_ids.append(i)
+                    t_sc.append(s)
+                if len(t_ids) == 1:             # unsalted: already sorted
+                    ids, acc = t_ids[0], t_sc[0]
+                else:
+                    ids = np.concatenate(t_ids)  # salted sub-lists are
+                    acc = np.concatenate(t_sc)   # docid-disjoint → unique
+                    order = np.argsort(ids)
+                    ids, acc = ids[order], acc[order]
             else:
-                pos = np.searchsorted(t_ids, ids)
-                ok = pos < t_ids.size
-                hit = np.zeros(ids.size, dtype=bool)
-                hit[ok] = t_ids[pos[ok]] == ids[ok]
-                ids = ids[hit]
-                acc = acc[hit] + t_sc[pos[hit]]
+                # later (larger) lists: decode only the blocks a surviving
+                # candidate lands in — the skip-array analogue of the
+                # reference's nextGEQ AND-merge (Index.template.hpp:117-121,
+                # nextGEQ never decodes skipped blocks, Index.cpp:181-214)
+                add = np.zeros(ids.size, dtype=np.float64)
+                hit_any = np.zeros(ids.size, dtype=bool)
+                for cur in cursors_by_term[t]:  # each cand hits ≤ 1 sub-list
+                    blk = np.searchsorted(cur.last_docids, ids, side="left")
+                    in_r = blk < cur.n_blocks
+                    if not in_r.any():
+                        continue
+                    mask = np.zeros(cur.n_blocks, dtype=bool)
+                    mask[blk[in_r]] = True
+                    span_ids, span_sc = cur.decode_selected(
+                        np.flatnonzero(mask), scorer_fn)
+                    if span_ids.size == 0:
+                        continue
+                    pos = np.searchsorted(span_ids, ids)
+                    ok = pos < span_ids.size
+                    hit = np.zeros(ids.size, dtype=bool)
+                    hit[ok] = span_ids[pos[ok]] == ids[ok]
+                    add[hit] += span_sc[pos[hit]]
+                    hit_any |= hit
+                ids = ids[hit_any]
+                acc = acc[hit_any] + add[hit_any]
             if ids.size == 0:
                 break
         if ids is None or ids.size == 0:
