@@ -627,7 +627,12 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
             if not alive.any():
                 continue
             cand_ids, cand_pos, blk = cand_ids[alive], cand_pos[alive], blk[alive]
-            span_ids, span_sc = cur.decode_selected(np.unique(blk), scorer_fn)
+            # ascending block set via a bool mask — np.unique would sort a
+            # candidate-sized array to produce the same ≤ n_blocks indices
+            bmask = np.zeros(cur.n_blocks, dtype=bool)
+            bmask[blk] = True
+            span_ids, span_sc = cur.decode_selected(np.flatnonzero(bmask),
+                                                    scorer_fn)
             pos = np.searchsorted(span_ids, cand_ids)
             pos_ok = pos < span_ids.size
             hit = np.zeros(cand_ids.size, dtype=bool)
