@@ -587,12 +587,18 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
             theta = max(theta, _theta(acc_sc, k))
         j += 1
         if j < len(glists) and acc_sc.size > _BOOST_MIN:
-            # head-term-sized accumulator with groups still unprocessed:
-            # seed θ from exact probed totals so the prune below bites
-            # (selective-first σ ordering means this never fires on the
-            # small accumulators of mixed selective+head queries)
-            theta = max(theta, _boost_theta(glists[j:], acc_ids, acc_sc,
-                                            k, scorer_fn))
+            # Boost only when the work ahead is actually large: the number
+            # of candidates the CURRENT θ would carry into the next group
+            # (as an essential merge or phase-2 probe — same keep bound).
+            # A high θ from selective lead groups already shrinks this to
+            # near-k on mixed queries, where the probe would be pure
+            # overhead (measured +10-13 ms); on all-head-terms queries the
+            # bound keeps ~the whole accumulator and the boost pays 2-5x.
+            ahead = int(np.count_nonzero(
+                acc_sc + sigmas[j] + rest[j] >= theta - eps))
+            if ahead > _BOOST_MIN:
+                theta = max(theta, _boost_theta(glists[j:], acc_ids, acc_sc,
+                                                k, scorer_fn))
         if theta != -np.inf and acc_sc.size > k:
             # accumulator prune: a doc whose score plus every unprocessed
             # group's σ (rest[j-1] = groups after the one just processed)
