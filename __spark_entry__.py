@@ -318,6 +318,15 @@ def q_dedup_simhash(spark, sf_dir):
                               max_hamming=SIMHASH_MAX_HAMMING)
 
 
+def q_dedup_components(spark, sf_dir):
+    from searchenginepp_spark.operators.dedup import (
+        dedup_components, minhash_lsh_candidates,
+    )
+
+    docs = _pipeline_docs(spark, sf_dir)
+    return dedup_components(docs, minhash_lsh_candidates(docs, n=3))
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     from searchenginepp_spark.operators.similarity import cosine_topk
 
@@ -486,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_simhash_pairs": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
@@ -515,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": opipe.sql_ngram_jaccard(
             n=3, threshold=JACCARD_T, max_shingle_df=JACCARD_MAX_SHINGLE_DF),
         "dedup_minhash_lsh": opipe.sql_minhash_lsh(n=3),
+        "dedup_components": opipe.sql_dedup_components(n=3),
         "dedup_simhash_pairs": opipe.sql_simhash_pairs(
             max_hamming=SIMHASH_MAX_HAMMING),
         "sim_cosine_topk": opipe.sql_cosine_topk(SIM_QUERY_IDS, k=SIM_K),

@@ -272,3 +272,71 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("docid_a", "docid_b", "hamming")
     )
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """(docid, component) over the undirected pair graph — component is the
+    SMALLEST docid reachable from the node (hash-min label propagation), so
+    the labeling is deterministic and needs no driver-side graph state.
+
+    This is the step a training-data pipeline runs after any of the
+    candidate-pair generators above: pairs only say "these two are near-
+    dups"; keeping one doc per GROUP needs the transitive closure.
+
+    Each round is one join + one groupBy: every node takes the min of its
+    own label and its neighbours' labels, converging in ≤ diameter rounds.
+    Near-dup graphs have tiny components (pairs come out of banded LSH
+    buckets), so the diameter is small; for adversarially long chains at
+    100 TB switch to the large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which converges in
+    O(log n) rounds over the same DataFrame ops.  The driver loop holds
+    only the per-round change COUNT; labels are localCheckpoint()ed each
+    round so the plan does not grow with the iteration count.
+
+    `nodes` (docid) declares the vertex set — docs with no pairs come back
+    as their own singleton component.
+    """
+    a_col, b_col = pairs.columns[:2]
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct()
+             .persist())
+    labels = nodes.select(F.col("docid"),
+                          F.col("docid").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            nbr = (edges.join(labels, edges["dst"] == labels["docid"])
+                   .groupBy(F.col("src").alias("docid"))
+                   .agg(F.min("component").alias("nbr_component")))
+            joined = labels.join(nbr, "docid", "left")
+            n_changed = joined.filter(
+                F.col("nbr_component") < F.col("component")).count()
+            if n_changed == 0:
+                return labels
+            labels = joined.select(
+                "docid",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("nbr_component"),
+                                   F.col("component"))).alias("component"))
+            labels = labels.localCheckpoint(eager=True)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter > max_iter; raise max_iter or use a "
+            f"star-contraction variant)")
+    finally:
+        edges.unpersist()
+
+
+def dedup_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(docid, component, is_canonical) — transitive near-dup groups over
+    any candidate-pair frame, canonical doc = smallest docid per group
+    (the standard keep-one-per-cluster dedup step; is_canonical is 1/0
+    for oracle-comparable output)."""
+    cc = connected_components(pairs, docs.select("docid"))
+    return cc.select(
+        "docid", "component",
+        (F.col("docid") == F.col("component")).cast("long")
+        .alias("is_canonical"))

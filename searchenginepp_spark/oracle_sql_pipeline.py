@@ -554,3 +554,29 @@ WHERE r_name = '{region_name}'
   AND o_orderdate >= TIMESTAMP '{year}-01-01'
   AND o_orderdate < TIMESTAMP '{year + 1}-01-01'
 GROUP BY n_name"""
+
+
+def sql_dedup_components(n: int = 3, num_perm: int = NUM_PERM,
+                         bands: int = LSH_BANDS) -> str:
+    """Transitive closure of the MinHash-LSH pair graph via a recursive CTE
+    (hash-min closure): walk enumerates every (node, reachable-origin) pair
+    from the symmetric edge set, so MIN(lab) per node is exactly the
+    smallest docid in the node's component — the same labeling
+    operators/dedup.py:connected_components converges to."""
+    pairs_sql = sql_minhash_lsh(n, num_perm, bands)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}
+  ),
+  edges AS (
+    SELECT docid_a AS src, docid_b AS dst FROM pairs
+    UNION ALL
+    SELECT docid_b AS src, docid_a AS dst FROM pairs
+  ),
+  walk(node, lab) AS (
+    SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+    UNION
+    SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+  )
+SELECT node AS docid, MIN(lab)::BIGINT AS component,
+       (CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END)::BIGINT AS is_canonical
+FROM walk GROUP BY node"""
