@@ -327,6 +327,33 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(docs, minhash_lsh_candidates(docs, n=3))
 
 
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 0.5, "zh": 0.1}
+SAMPLE_DEFAULT_FRACTION = 0.75      # es / fr fall through
+SAMPLE_CAP = 40
+
+
+def _docs_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"), "lang")
+
+
+def q_sample_fraction(spark, sf_dir):
+    from searchenginepp_spark.operators.sampling import (
+        stratified_sample_fraction,
+    )
+
+    return stratified_sample_fraction(
+        _docs_with_lang(spark, sf_dir), "lang",
+        SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT_FRACTION)
+
+
+def q_sample_cap(spark, sf_dir):
+    from searchenginepp_spark.operators.sampling import stratified_sample_cap
+
+    return stratified_sample_cap(_docs_with_lang(spark, sf_dir), "lang",
+                                 cap=SAMPLE_CAP)
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     from searchenginepp_spark.operators.similarity import cosine_topk
 
@@ -496,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "sample_stratified_fraction": q_sample_fraction,
+        "sample_stratified_cap": q_sample_cap,
         "dedup_simhash_pairs": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
@@ -526,6 +555,9 @@ def oracle_sql() -> dict[str, str]:
             n=3, threshold=JACCARD_T, max_shingle_df=JACCARD_MAX_SHINGLE_DF),
         "dedup_minhash_lsh": opipe.sql_minhash_lsh(n=3),
         "dedup_components": opipe.sql_dedup_components(n=3),
+        "sample_stratified_fraction": opipe.sql_sample_fraction(
+            SAMPLE_FRACTIONS, SAMPLE_DEFAULT_FRACTION),
+        "sample_stratified_cap": opipe.sql_sample_cap(SAMPLE_CAP),
         "dedup_simhash_pairs": opipe.sql_simhash_pairs(
             max_hamming=SIMHASH_MAX_HAMMING),
         "sim_cosine_topk": opipe.sql_cosine_topk(SIM_QUERY_IDS, k=SIM_K),

@@ -580,3 +580,38 @@ WITH RECURSIVE pairs AS ({pairs_sql}
 SELECT node AS docid, MIN(lab)::BIGINT AS component,
        (CASE WHEN MIN(lab) = node THEN 1 ELSE 0 END)::BIGINT AS is_canonical
 FROM walk GROUP BY node"""
+
+
+_HASH_SPAN_SQL = "1152921504606846976.0"    # 2^60, the md5-prefix span
+
+
+def _sample_u01(id_expr: str = "doc_id") -> str:
+    return (f"(('0x' || substr(md5({id_expr}::VARCHAR), 1, 15))::BIGINT"
+            f" / {_HASH_SPAN_SQL})")
+
+
+def sql_sample_fraction(fractions: dict[str, float],
+                        default_fraction: float = 0.0,
+                        strata_col: str = "lang") -> str:
+    """Mirrors operators/sampling.stratified_sample_fraction: hash-uniform
+    u(docid) < fraction(stratum).  Both engines divide the SAME exact
+    60-bit integer by the same power of two, so the IEEE doubles — and the
+    kept sets — are bit-identical."""
+    cases = " ".join(f"WHEN {strata_col} = '{k}' THEN {float(v)}"
+                     for k, v in sorted(fractions.items()))
+    return f"""
+SELECT doc_id::BIGINT AS docid, {strata_col} FROM documents
+WHERE {_sample_u01()} < (CASE {cases} ELSE {float(default_fraction)} END)"""
+
+
+def sql_sample_cap(cap: int, strata_col: str = "lang") -> str:
+    """Mirrors operators/sampling.stratified_sample_cap: per-stratum
+    row_number over (hash(docid), docid) ≤ cap."""
+    return f"""
+SELECT docid, {strata_col}, sample_rank FROM (
+  SELECT doc_id::BIGINT AS docid, {strata_col},
+         ROW_NUMBER() OVER (
+           PARTITION BY {strata_col}
+           ORDER BY {_sample_u01()} ASC, doc_id ASC)::BIGINT AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {cap}"""
