@@ -327,6 +327,21 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(docs, minhash_lsh_candidates(docs, n=3))
 
 
+CONTAM_BENCH_MOD, CONTAM_BENCH_REM = 100, 7   # ~1% of docs as the eval set
+CONTAM_MIN_SHARED = 3
+
+
+def q_text_contamination(spark, sf_dir):
+    from searchenginepp_spark.operators.text_analysis import (
+        contamination_check,
+    )
+
+    docs = _pipeline_docs(spark, sf_dir)
+    is_bench = (F.col("docid") % CONTAM_BENCH_MOD) == CONTAM_BENCH_REM
+    return contamination_check(docs.where(~is_bench), docs.where(is_bench),
+                               n=3, min_shared=CONTAM_MIN_SHARED)
+
+
 SAMPLE_FRACTIONS = {"en": 0.25, "de": 0.5, "zh": 0.1}
 SAMPLE_DEFAULT_FRACTION = 0.75      # es / fr fall through
 SAMPLE_CAP = 40
@@ -525,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "sample_stratified_fraction": q_sample_fraction,
         "sample_stratified_cap": q_sample_cap,
+        "text_contamination": q_text_contamination,
         "dedup_simhash_pairs": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_ann_topk": q_sim_lsh_ann_topk,
@@ -558,6 +574,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified_fraction": opipe.sql_sample_fraction(
             SAMPLE_FRACTIONS, SAMPLE_DEFAULT_FRACTION),
         "sample_stratified_cap": opipe.sql_sample_cap(SAMPLE_CAP),
+        "text_contamination": opipe.sql_contamination(
+            n=3, min_shared=CONTAM_MIN_SHARED,
+            bench_mod=CONTAM_BENCH_MOD, bench_rem=CONTAM_BENCH_REM),
         "dedup_simhash_pairs": opipe.sql_simhash_pairs(
             max_hamming=SIMHASH_MAX_HAMMING),
         "sim_cosine_topk": opipe.sql_cosine_topk(SIM_QUERY_IDS, k=SIM_K),

@@ -239,3 +239,33 @@ def doc_fingerprint_sql(docs: DataFrame, k: int = FP_GRAM_LEN,
             F.sort_array(F.collect_set(sel)),
             lambda x: x.cast("string")))).alias("fingerprint"),
     ).select("docid", "n_grams", "n_selected", "fingerprint")
+
+
+def contamination_check(docs, benchmark, n: int = 3,
+                        min_shared: int = 3):
+    """(docid, n_shared_shingles, n_benchmark_docs) for every training doc
+    sharing ≥ min_shared distinct word n-grams with ANY benchmark doc —
+    the pre-training decontamination step (flag training text that leaks
+    eval data).
+
+    Scale shape: benchmark sets are small (thousands of eval rows), so
+    their distinct shingles broadcast; the training side is one map-side
+    broadcast join over its shingles plus one groupBy(docid) — no
+    data-sized shuffle of the corpus.  n_benchmark_docs counts how many
+    distinct benchmark docs share ≥1 shingle (an doc can be contaminated
+    by several eval items).
+    """
+    from pyspark.sql import functions as F
+
+    from searchenginepp_spark.operators.dedup import doc_shingles
+
+    bsh = (doc_shingles(benchmark, n)
+           .select(F.col("docid").alias("bench_id"), "shingle"))
+    tsh = doc_shingles(docs, n)
+    hits = tsh.join(F.broadcast(bsh), "shingle")
+    return (hits.groupBy("docid")
+            .agg(F.countDistinct("shingle").cast("long")
+                 .alias("n_shared_shingles"),
+                 F.countDistinct("bench_id").cast("long")
+                 .alias("n_benchmark_docs"))
+            .where(F.col("n_shared_shingles") >= min_shared))

@@ -615,3 +615,26 @@ SELECT docid, {strata_col}, sample_rank FROM (
            ORDER BY {_sample_u01()} ASC, doc_id ASC)::BIGINT AS sample_rank
   FROM documents
 ) WHERE sample_rank <= {cap}"""
+
+
+def sql_contamination(n: int = 3, min_shared: int = 3,
+                      bench_mod: int = 100, bench_rem: int = 7) -> str:
+    """Mirrors operators/text_analysis.contamination_check with the driver's
+    deterministic benchmark split (doc_id % bench_mod == bench_rem)."""
+    return f"""
+WITH {cte_raw_tokens()}, {cte_shingles(n)},
+  bsh AS (
+    SELECT docid AS bench_id, shingle FROM dsh
+    WHERE docid % {bench_mod} = {bench_rem}
+  ),
+  tsh AS (
+    SELECT docid, shingle FROM dsh WHERE docid % {bench_mod} <> {bench_rem}
+  ),
+  hits AS (
+    SELECT t.docid, t.shingle, b.bench_id
+    FROM tsh t JOIN bsh b USING (shingle)
+  )
+SELECT docid, COUNT(DISTINCT shingle)::BIGINT AS n_shared_shingles,
+       COUNT(DISTINCT bench_id)::BIGINT AS n_benchmark_docs
+FROM hits GROUP BY docid
+HAVING COUNT(DISTINCT shingle) >= {min_shared}"""
