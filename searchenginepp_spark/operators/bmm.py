@@ -269,8 +269,22 @@ def _merge_acc(acc_ids: np.ndarray, acc_sc: np.ndarray,
     new = ~dup
     if not new.any():
         return acc_ids, out_sc
-    return (np.insert(acc_ids, pos[new], ids[new]),
-            np.insert(out_sc, pos[new], sc[new]))
+    # hand-rolled interleave: np.insert called twice re-derived the same
+    # slot arithmetic (and an internal arange) per array — ~45% of the
+    # two-head-term query wall at 2.4M-posting lists.  Final slot of new
+    # element i = its acc insertion point + i (new elems before it).
+    new_ids, new_sc = ids[new], sc[new]
+    n, m = acc_ids.size, new_ids.size
+    slots_new = pos[new] + np.arange(m, dtype=np.int64)
+    keep = np.ones(n + m, dtype=bool)
+    keep[slots_new] = False
+    out_ids2 = np.empty(n + m, dtype=np.int64)
+    out_sc2 = np.empty(n + m, dtype=np.float64)
+    out_ids2[keep] = acc_ids
+    out_ids2[slots_new] = new_ids
+    out_sc2[keep] = out_sc
+    out_sc2[slots_new] = new_sc
+    return out_ids2, out_sc2
 
 
 def _theta(acc_sc: np.ndarray, k: int) -> float:
