@@ -55,6 +55,26 @@ from searchenginepp_spark.sources.corpus import (
 # is salted into multiple docid-hashed shards. 2^21 postings ≈ 4-8 MB blob.
 SALT_TARGET_POSTINGS = 1 << 21
 
+# Output-file sizing (guide §6: aim for 128 MB-1 GB files).  Every persisted
+# table is written with a file count derived from its estimated bytes, never
+# from the compute-stage partition count — a 100k-doc toy index otherwise
+# lands as ~200 KB/file × (2-6 tasks/core) files and every downstream scan
+# (Spark query jobs, the LocalSearcher cold read) pays one task/footer per
+# file (measured round 6: ~2 s of pure task scheduling per exact query).
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+# Estimated encoded index bytes per posting (docid ~1.0 B + tf ~0.2 B +
+# doclen ~1 B measured, plus skip structs ≈ posting/64 × ~70 B) — rounded up.
+_EST_BLOB_BYTES_PER_POSTING = 4
+# Estimated docmap bytes per doc (docno + sha256 + path metadata columns).
+_EST_DOCMAP_BYTES_PER_DOC = 250
+
+
+def _n_output_files(est_bytes: int, cap: int,
+                    target: int = TARGET_FILE_BYTES) -> int:
+    """File count for a table of est_bytes: ~target bytes per file, at least
+    1, never more than the compute partition count (`cap`)."""
+    return max(1, min(int(cap), -(-int(est_bytes) // int(target))))
+
 
 def tf_map_udf(stem: bool = True):
     """content → map<term,int> term frequencies, one Python pass per batch
@@ -507,7 +527,8 @@ def _make_encode_stream(key_name: str, out_key: str, pa_shard,
 
 
 def term_vocab(terms: DataFrame, num_partitions: int | None = None,
-               return_handle: bool = False, stats: dict | None = None):
+               return_handle: bool = False, stats: dict | None = None,
+               stats_aggs: dict | None = None):
     """(term, term_id int32) dictionary over a UNIQUE-term DataFrame (e.g.
     the per-term df aggregation), ids dense and assigned in LEXICOGRAPHIC
     term order — so a term_id sort IS a term sort and the dict transfer
@@ -522,7 +543,8 @@ def term_vocab(terms: DataFrame, num_partitions: int | None = None,
     unpersists it after its terminal action."""
     out, handle = assign_docids(terms, order_cols=("term",),
                                 num_partitions=num_partitions,
-                                return_handle=True, stats=stats)
+                                return_handle=True, stats=stats,
+                                stats_aggs=stats_aggs)
     vocab = out.withColumn(
         "term_id", (F.col("docid") - F.lit(DOCID_START)).cast("int")
     ).drop("docid")
@@ -920,12 +942,32 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                                                     src_files)
     corpus = with_content_sha256(with_docno(corpus))
     cache_handle = None
+    doc_stats: dict = {}
     t0 = time.perf_counter()
     if scalable_docids:
         from pyspark.storagelevel import StorageLevel
 
+        # Corpus partitioning sized by DATA with a parallelism floor (guide
+        # §2): bytes/2 MB keeps tiny corpora from fanning into
+        # defaultParallelism near-empty tasks (each later pass — count,
+        # docmap, tokenize — pays per-task fixed cost), bytes/64 MB raises
+        # the count past the floor for large inputs, and the
+        # defaultParallelism floor keeps the Python tokenize stage fed at
+        # 3-4 tasks/core whenever the data allows.  Falls back to the old
+        # behavior (defaultParallelism) when the input has no file
+        # provenance to estimate from.
+        input_bytes = cache_meta.get("input_bytes")
+        if input_bytes is None:
+            input_bytes = _files_nbytes(spark, src_files)
+        n_corpus_parts = None
+        if input_bytes:
+            par = spark.sparkContext.defaultParallelism
+            n_corpus_parts = max(min(par, -(-input_bytes // (2 << 20))),
+                                 -(-input_bytes // (64 << 20)))
         corpus, cache_handle = assign_docids(
             corpus, return_handle=True,
+            num_partitions=n_corpus_parts,
+            stats=doc_stats,
             storage_level=(StorageLevel.DISK_ONLY if cache_mode == "disk"
                            else None))
     else:
@@ -938,7 +980,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out: str | IndexPaths,
                                    timings=t, cache_postings=cache_mode,
                                    cache_meta=cache_meta,
                                    transfer=transfer,
-                                   dict_max_vocab=dict_max_vocab)
+                                   dict_max_vocab=dict_max_vocab,
+                                   n_docs_hint=doc_stats.get("n_rows"))
     finally:
         if cache_handle is not None:
             cache_handle.unpersist()
@@ -952,7 +995,8 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                         cache_postings="memory",
                         cache_meta: dict | None = None,
                         transfer: str = "auto",
-                        dict_max_vocab: int = 4_000_000) -> IndexPaths:
+                        dict_max_vocab: int = 4_000_000,
+                        n_docs_hint: int | None = None) -> IndexPaths:
     # Cached path ("memory"/"disk"): tokenize ONCE — exploded postings
     # persist (level per the cache-pressure decision); docmap doclens are a
     # per-docid first() agg over the cache and heavy-term df is EXACT from
@@ -993,12 +1037,20 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         .observe(obs, F.count(F.lit(1)).alias("n_docs"),
                  F.sum("doclen").alias("sum_doclen"))
     )
+    if n_docs_hint:
+        # file sizing (guide §6): the docmap is ~250 B/doc; without this the
+        # write inherits the corpus partition count (one near-empty file per
+        # compute task) and every docno-resolve scan pays a task per file
+        docmap = docmap.coalesce(_n_output_files(
+            n_docs_hint * _EST_DOCMAP_BYTES_PER_DOC,
+            cap=spark.sparkContext.defaultParallelism))
     docmap.write.mode("overwrite").parquet(paths.docmap)
 
     n_docs = int(obs.get["n_docs"])
     sum_doclen = int(obs.get["sum_doclen"] or 0)
-    (spark.createDataFrame([(n_docs, sum_doclen)],
-                           "n_docs long, sum_doclen long")
+    from searchenginepp_spark.operators.query import _local_df
+
+    (_local_df(spark, [(n_docs, sum_doclen)], "n_docs long, sum_doclen long")
      .write.mode("overwrite").parquet(paths.stats))
     avgdl = sum_doclen / n_docs if n_docs else 0.0
     t["docmap"] = round(time.perf_counter() - t0, 3)
@@ -1007,9 +1059,13 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
     if term_partitions is None:
         # size the postings shuffle by DATA, not cores: ~5M postings per
         # partition keeps the per-task Tungsten sort in memory (measured:
-        # under-partitioning at 2M docs spilled and cost ~1.6x)
+        # under-partitioning at 2M docs spilled and cost ~1.6x).  Floor at
+        # defaultParallelism (round 6: the old 2x floor only added per-task
+        # fixed cost — encode 8.2 -> 7.0 s at 100k docs/local[32], A/B
+        # min-of-2; output files are sized separately, so the floor no
+        # longer leaks into the written layout)
         est_postings = int(sum_doclen or 0)
-        term_partitions = max(spark.sparkContext.defaultParallelism * 2,
+        term_partitions = max(spark.sparkContext.defaultParallelism,
                               est_postings // 5_000_000 + 1)
 
     heavy = None
@@ -1027,8 +1083,19 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         sample_meta = {"mode": "exact_cached_postings", "frac": 1.0}
         lex = postings_cache.groupBy("term").agg(F.count("*").alias("df"))
         vstats: dict = {}
-        vocab, vocab_handle = term_vocab(lex, return_handle=True,
-                                         stats=vstats)
+        # vocab partitions sized by data (≤1 partition per ~20M postings of
+        # source volume — the vocab is far smaller than the postings), never
+        # the cores-derived defaultParallelism: a toy corpus otherwise runs
+        # its ~2k-term dictionary through 3-4 range partitions per core,
+        # paying per-task fixed cost in the sample job, the count job, the
+        # id-assignment pass AND one output file per partition.  sum_len is
+        # folded into the count job (one fewer toy job) and feeds the dict
+        # broadcast estimate below.
+        vocab_parts = _n_output_files(int(sum_doclen or 0), target=20_000_000,
+                                      cap=spark.sparkContext.defaultParallelism)
+        vocab, vocab_handle = term_vocab(
+            lex, num_partitions=vocab_parts, return_handle=True, stats=vstats,
+            stats_aggs={"sum_term_len": F.sum(F.length("term"))})
         heavy_rows = (
             vocab.filter(F.col("df") > salt_target)
             .withColumn("n_buckets",
@@ -1061,9 +1128,11 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                 .collect()                # head terms only — tiny
             )
     if heavy_rows:
-        heavy = spark.createDataFrame(
-            [(r["term"], r["n_buckets"]) for r in heavy_rows],
-            "term string, n_buckets long")
+        from searchenginepp_spark.operators.query import _local_df
+
+        heavy = _local_df(spark,
+                          [(r["term"], r["n_buckets"]) for r in heavy_rows],
+                          "term string, n_buckets long")
     elif postings_cache is not None:
         # exact df already computed: nothing is heavy — suppress the
         # fallback per-term df agg inside build_index_shards
@@ -1083,8 +1152,9 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         # their storage region on the dictionary.
         transfer = "row"
         if n_vocab is not None and n_vocab <= dict_max_vocab:
-            sum_len = vocab.agg(
-                F.sum(F.length("term")).alias("s")).collect()[0]["s"] or 0
+            # sum(length(term)) was folded into the id-assignment count job
+            # (assign_docids stats_aggs) — no separate agg job here
+            sum_len = vstats.get("sum_term_len") or 0
             avg_len = sum_len / max(n_vocab, 1)
             est_bcast = int(n_vocab * (avg_len + 64) * 2)
             _, min_exec_storage = _executor_storage_info(spark)
@@ -1120,8 +1190,26 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
                                 block_size=block_size, heavy=heavy,
                                 transfer=transfer,
                                 vocab=(vocab if transfer == "dict" else None))
-    # rows leave the encoder already (term, shard)-sorted per partition →
-    # parquet row-group min/max stats prune on term; write once, derive the
+    # Output-file sizing (guide §6): the encoded rows are ~250x smaller than
+    # the postings that produced them, so the encode partition count (sized
+    # for the shuffle+sort+encode CPU work) over-fragments the written
+    # table — one ~hundreds-of-KB file per task at toy scale, and every
+    # downstream scan pays a task + footer per file.  Repartition the
+    # encoded rows by term into a data-sized file count before the write:
+    # hash(term) keeps all sub-shards of a term in one file, and the
+    # sortWithinPartitions keeps rows term-clustered so parquet row-group
+    # min/max pruning on term is preserved (the encode partitioning was
+    # hash(term,salt), so file-LEVEL term clustering never existed — this
+    # loses nothing).  The extra exchange moves only the encoded blobs
+    # (~4 B/posting), a rounding error next to the postings shuffle.
+    n_shard_files = _n_output_files(
+        int(sum_doclen or 0) * _EST_BLOB_BYTES_PER_POSTING,
+        cap=term_partitions)
+    if n_shard_files < term_partitions:
+        shards = (shards.repartition(n_shard_files, "term")
+                  .sortWithinPartitions("term", "shard"))
+    # rows reach the writer (term, shard)-sorted per partition → parquet
+    # row-group min/max stats prune on term; write once, derive the
     # global lexicon from the written table's tiny (term, df_shard) columns
     # (or, when the exact per-term df is already persisted, from that)
     shards.write.mode("overwrite").parquet(paths.shards)

@@ -42,7 +42,7 @@ from searchenginepp_spark.config import BM25_B, BM25_K1, DEFAULT_TOP_K
 
 
 def queries_df(spark: SparkSession, queries: Iterable[tuple[int, str]]) -> DataFrame:
-    return spark.createDataFrame(list(queries), schema="qid long, text string")
+    return _local_df(spark, list(queries), "qid long, text string")
 
 
 def normalize_queries(qdf: DataFrame, stem: bool = True) -> DataFrame:
@@ -73,8 +73,22 @@ def query_terms_local(queries: Iterable[tuple[int, str]],
     return out
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Single-partition DataFrame from a tiny driver-side row list.
+
+    createDataFrame(list) parallelizes into defaultParallelism Python-
+    evaluated slices — a 5-row query frame then schedules ~100 near-empty
+    tasks on every job that touches it, and coalescing afterwards is worse
+    (one task computing ~100 sequential Python partitions, measured ~12 s).
+    parallelize(rows, 1) keeps it to ONE Python partition."""
+    if not rows:
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema=schema)
+
+
 def query_terms_df(spark: SparkSession, qterms: list[tuple[int, str]]) -> DataFrame:
-    return spark.createDataFrame(qterms, schema="qid long, term string")
+    return _local_df(spark, qterms, "qid long, term string")
 
 
 def _score_col(scorer: str, avgdl: float):
@@ -295,9 +309,14 @@ class Searcher:
                            "score double")
         shards = self.shards.filter(F.col("term").isin(terms))
         postings = decode_shards(shards)
-        scored = score_postings(postings, self.lexicon, qterms, self.n_docs,
+        # restrict the lexicon scan to the query's terms: the inner join
+        # with qterms already drops every other row, but the explicit
+        # filter pushes `term IN (...)` into the parquet scan (row-group
+        # pruning) instead of scanning the whole lexicon per query
+        lexicon = self.lexicon.filter(F.col("term").isin(terms))
+        scored = score_postings(postings, lexicon, qterms, self.n_docs,
                                 self.avgdl, scorer)
-        results = topk(scored, qterms, self.lexicon, k=k,
+        results = topk(scored, qterms, lexicon, k=k,
                        conjunctive=conjunctive)
         return resolve_docnos(results, self.docmap)
 

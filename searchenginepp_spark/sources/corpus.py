@@ -75,6 +75,7 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
                   return_handle: bool = False,
                   start: int | None = None,
                   stats: dict | None = None,
+                  stats_aggs: dict | None = None,
                   storage_level=None):
     """Distributed deterministic docid assignment (zipWithIndex as DataFrame).
 
@@ -94,6 +95,11 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
     MEMORY_AND_DISK).  build_index passes DISK_ONLY when its cache-pressure
     estimator says the corpus cache (measured ≈1.35× the compressed input
     bytes in memory) would thrash executor storage memory.
+
+    stats_aggs: optional {name: Column} extra aggregations evaluated inside
+    the per-partition count job (one pass — no extra job) and summed over
+    partitions into `stats` — e.g. term_vocab folds sum(length(term)) here
+    instead of running a separate agg job (round 6).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -107,9 +113,14 @@ def assign_docids(df: DataFrame, order_cols=("repo", "path", "commit"),
     # checkpoint to durable storage here — see plans/checkpoint.py).
     part = part.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
 
-    counts = {
-        r["__pid"]: r["count"] for r in part.groupBy("__pid").count().collect()
-    }
+    aggs = [F.count("*").alias("count")]
+    for name, col in (stats_aggs or {}).items():
+        aggs.append(col.alias(f"__agg_{name}"))
+    crows = part.groupBy("__pid").agg(*aggs).collect()
+    counts = {r["__pid"]: r["count"] for r in crows}
+    if stats is not None and stats_aggs:
+        for name in stats_aggs:
+            stats[name] = sum(r[f"__agg_{name}"] or 0 for r in crows)
     offsets = {}
     acc = DOCID_START if start is None else int(start)
     for pid in sorted(counts):
