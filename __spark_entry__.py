@@ -164,8 +164,9 @@ def _docid_from_docno(res: DataFrame, k: int) -> DataFrame:
     spark = ranked.sparkSession
     out = [(r["qid"], r["docid"], r["rank"], r["score"])
            for r in rows if r["rank"] <= k]
-    return spark.createDataFrame(
-        out, "qid long, docid long, rank long, score double")
+    from searchenginepp_spark.operators.query import _local_df
+
+    return _local_df(spark, out, "qid long, docid long, rank long, score double")
 
 
 def q_bm25_compressed_index(spark, sf_dir):
@@ -458,7 +459,9 @@ def q_eval_metrics(spark, sf_dir):
     from searchenginepp_spark.operators.evaluation import evaluate_topk
 
     run = _topk(spark, sf_dir, "bm25", conjunctive=False)
-    qids = spark.createDataFrame([(q,) for q, _ in QUERY_SET], "qid long")
+    from searchenginepp_spark.operators.query import _local_df
+
+    qids = _local_df(spark, [(q,) for q, _ in QUERY_SET], "qid long")
     qrels = (
         _docs(spark, sf_dir).select("docid").crossJoin(qids)
         .filter(F.col("docid") % EVAL_QRELS_MOD

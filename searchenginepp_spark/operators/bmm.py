@@ -821,8 +821,20 @@ def search_bmm(spark: SparkSession, index_root: str,
         query_terms_df, query_terms_local, resolve_docnos,
     )
 
+    from searchenginepp_spark.operators.query import _local_df
+
     paths = IndexPaths(index_root)
-    stats = spark.read.parquet(paths.stats).collect()[0]
+    # stats (1 row) and the |query terms| lexicon slice are driver-side
+    # pyarrow reads (row-group pruned, like the serving reader) — each used
+    # to be its own Spark job per search call; falls back to Spark reads
+    # for filesystems pyarrow cannot reach
+    try:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        stats = pq.read_table(paths.stats).to_pylist()[0]
+    except Exception:
+        stats = spark.read.parquet(paths.stats).collect()[0]
     n_docs = int(stats["n_docs"])
     avgdl = (stats["sum_doclen"] / n_docs) if n_docs else 0.0
     qt = query_terms_local(queries, stem=stem)
@@ -832,9 +844,18 @@ def search_bmm(spark: SparkSession, index_root: str,
         return spark.createDataFrame(
             [], schema="qid long, docid long, docno string, rank long, score double")
 
-    lexicon = spark.read.parquet(paths.lexicon).filter(F.col("term").isin(terms))
-    lex_rows = lexicon.collect()          # |query terms| rows — tiny
-    df_by_term = {r["term"]: int(r["df"]) for r in lex_rows}
+    try:
+        tbl = pads.dataset(paths.lexicon, format="parquet").to_table(
+            columns=["term", "df"], filter=pads.field("term").isin(terms))
+        lex_pairs = sorted(zip(tbl.column("term").to_pylist(),
+                               (int(d) for d in tbl.column("df").to_pylist())))
+        lexicon = _local_df(spark, lex_pairs, "term string, df long")
+        df_by_term = dict(lex_pairs)
+    except Exception:
+        lexicon = spark.read.parquet(paths.lexicon).filter(
+            F.col("term").isin(terms))
+        lex_rows = lexicon.collect()      # |query terms| rows — tiny
+        df_by_term = {r["term"]: int(r["df"]) for r in lex_rows}
     if n_ranges is None:
         n_ranges = _auto_n_ranges(qt, df_by_term, range_target)
 

@@ -284,8 +284,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     candidate-pair generators above: pairs only say "these two are near-
     dups"; keeping one doc per GROUP needs the transitive closure.
 
-    Each round is one join + one groupBy: every node takes the min of its
-    own label and its neighbours' labels, converging in ≤ diameter rounds.
+    Each round is ONE materialization of one join + one groupBy (round 6:
+    the change count used to run on the un-checkpointed join and the
+    checkpoint then recomputed it — every round paid the join twice; the
+    changed flag is now a column of the checkpointed frame and the count
+    is a cheap scan of already-materialized partitions): every node takes
+    the min of its own label and its neighbours' labels, converging in ≤
+    diameter rounds.
     Near-dup graphs have tiny components (pairs come out of banded LSH
     buckets), so the diameter is small; for adversarially long chains at
     100 TB switch to the large-star/small-star alternation (Kiveris et al.,
@@ -311,17 +316,20 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
             nbr = (edges.join(labels, edges["dst"] == labels["docid"])
                    .groupBy(F.col("src").alias("docid"))
                    .agg(F.min("component").alias("nbr_component")))
-            joined = labels.join(nbr, "docid", "left")
-            n_changed = joined.filter(
-                F.col("nbr_component") < F.col("component")).count()
+            new_labels = (
+                labels.join(nbr, "docid", "left")
+                .select(
+                    "docid",
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("nbr_component"),
+                                       F.col("component"))).alias("component"),
+                    (F.col("nbr_component") < F.col("component"))
+                    .cast("int").alias("__chg"))
+                .localCheckpoint(eager=True))
+            n_changed = new_labels.filter(F.col("__chg") == 1).count()
+            labels = new_labels.drop("__chg")
             if n_changed == 0:
                 return labels
-            labels = joined.select(
-                "docid",
-                F.least(F.col("component"),
-                        F.coalesce(F.col("nbr_component"),
-                                   F.col("component"))).alias("component"))
-            labels = labels.localCheckpoint(eager=True)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(component diameter > max_iter; raise max_iter or use a "

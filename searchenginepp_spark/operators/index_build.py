@@ -146,8 +146,9 @@ def doclen_jvm(corpus: DataFrame) -> DataFrame:
     from searchenginepp_spark.functions.stop_words import stop_words
 
     spark = corpus.sparkSession
-    sw = spark.createDataFrame([(w,) for w in sorted(stop_words())],
-                               "tok string")
+    from searchenginepp_spark.operators.query import _local_df
+
+    sw = _local_df(spark, [(w,) for w in sorted(stop_words())], "tok string")
     toks = (
         corpus.select(
             "docid",

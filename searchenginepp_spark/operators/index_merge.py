@@ -160,10 +160,12 @@ def merge_indexes(spark: SparkSession, roots: list[str],
 
     docmap.write.mode("overwrite").parquet(paths.docmap)
     shards.write.mode("overwrite").parquet(paths.shards)
-    (spark.createDataFrame(
-        [(sum(int(r["n_docs"]) for r in stats_rows),
-          sum(int(r["sum_doclen"] or 0) for r in stats_rows))],
-        "n_docs long, sum_doclen long")
+    from searchenginepp_spark.operators.query import _local_df
+
+    (_local_df(spark,
+               [(sum(int(r["n_docs"]) for r in stats_rows),
+                 sum(int(r["sum_doclen"] or 0) for r in stats_rows))],
+               "n_docs long, sum_doclen long")
      .write.mode("overwrite").parquet(paths.stats))
     lex = None
     for s in srcs:

@@ -130,7 +130,13 @@ def topk(scored: DataFrame, qterms: DataFrame, lexicon: DataFrame,
     (Spark vs DuckDB oracle) rank identically despite last-ulp float
     differences; exact ties then break by docid asc.
     """
-    agg = scored.groupBy("qid", "docid").agg(
+    # One exchange instead of two (guide §2.4): hash(qid) satisfies the
+    # aggregation's ClusteredDistribution(qid, docid) — all rows of one
+    # (qid, docid) share a qid — AND the window's PartitionBy(qid), so the
+    # explicit repartition is reused by both and Catalyst inserts no
+    # further exchange.  The per-qid funnel is unchanged: the window always
+    # received every (qid, docid) row of a query in one task anyway.
+    agg = scored.repartition("qid").groupBy("qid", "docid").agg(
         F.sum("partial").alias("score_raw"),
         F.count("*").alias("n_matched"),
     )
@@ -259,8 +265,8 @@ def search_corpus(spark: SparkSession, docs: DataFrame,
         rows = result.collect()
     finally:
         postings.unpersist()
-    return spark.createDataFrame(
-        rows, schema="qid long, docid long, rank long, score double")
+    return _local_df(spark, [tuple(r) for r in rows],
+                     "qid long, docid long, rank long, score double")
 
 
 def search(spark: SparkSession, index_root: str,

@@ -158,9 +158,11 @@ def _centroid_table(embeddings: DataFrame, n_centroids: int,
             .select("centroid_id", "ce", "cnorm")
         )
     if not isinstance(centroids, DataFrame):
+        from searchenginepp_spark.operators.query import _local_df
+
         rows = [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)]
-        centroids = embeddings.sparkSession.createDataFrame(
-            rows, "centroid_id long, embedding array<double>")
+        centroids = _local_df(embeddings.sparkSession, rows,
+                              "centroid_id long, embedding array<double>")
     return (with_norm(centroids)
             .select("centroid_id", _emb().alias("ce"),
                     F.col("norm").alias("cnorm")))
