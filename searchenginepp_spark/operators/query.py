@@ -303,6 +303,26 @@ class Searcher:
         self.docmap = spark.read.parquet(self.paths.docmap)
         self.shards = spark.read.parquet(self.paths.shards)
 
+    def _lexicon_slice(self, terms: list[str]) -> DataFrame:
+        """The |query terms| lexicon rows as a 1-partition local frame via
+        a driver-side pyarrow read (row-group pruned — the serving
+        reader's pattern; the broadcast build otherwise runs a parquet
+        scan job per search call).  Falls back to a filtered Spark scan
+        (`term IN (...)` pushed down) for filesystems pyarrow cannot
+        reach.  Only the queried terms' rows are ever read — the full
+        lexicon never lands on the driver."""
+        try:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(self.paths.lexicon, format="parquet").to_table(
+                columns=["term", "df"],
+                filter=pads.field("term").isin(terms))
+            pairs = sorted(zip(tbl.column("term").to_pylist(),
+                               (int(d) for d in tbl.column("df").to_pylist())))
+            return _local_df(self.spark, pairs, "term string, df long")
+        except Exception:
+            return self.lexicon.filter(F.col("term").isin(terms))
+
     def search(self, queries: Iterable[tuple[int, str]],
                k: int = DEFAULT_TOP_K, scorer: str = "bm25",
                conjunctive: bool = False) -> DataFrame:
@@ -315,11 +335,7 @@ class Searcher:
                            "score double")
         shards = self.shards.filter(F.col("term").isin(terms))
         postings = decode_shards(shards)
-        # restrict the lexicon scan to the query's terms: the inner join
-        # with qterms already drops every other row, but the explicit
-        # filter pushes `term IN (...)` into the parquet scan (row-group
-        # pruning) instead of scanning the whole lexicon per query
-        lexicon = self.lexicon.filter(F.col("term").isin(terms))
+        lexicon = self._lexicon_slice(terms)
         scored = score_postings(postings, lexicon, qterms, self.n_docs,
                                 self.avgdl, scorer)
         results = topk(scored, qterms, lexicon, k=k,
