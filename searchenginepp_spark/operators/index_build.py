@@ -1045,7 +1045,10 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
         docmap = docmap.coalesce(_n_output_files(
             n_docs_hint * _EST_DOCMAP_BYTES_PER_DOC,
             cap=spark.sparkContext.defaultParallelism))
-    docmap.write.mode("overwrite").parquet(paths.docmap)
+    # 16 MB row groups for docid-pruned point lookups (see shards write)
+    (docmap.write.mode("overwrite")
+     .option("parquet.block.size", 16 * 1024 * 1024)
+     .parquet(paths.docmap))
 
     n_docs = int(obs.get["n_docs"])
     sum_doclen = int(obs.get["sum_doclen"] or 0)
@@ -1212,8 +1215,16 @@ def _build_index_passes(spark, corpus, paths, stem, salt_target,
     # rows reach the writer (term, shard)-sorted per partition → parquet
     # row-group min/max stats prune on term; write once, derive the
     # global lexicon from the written table's tiny (term, df_shard) columns
-    # (or, when the exact per-term df is already persisted, from that)
-    shards.write.mode("overwrite").parquet(paths.shards)
+    # (or, when the exact per-term df is already persisted, from that).
+    # Row groups are capped at 16 MB (parquet default: 128 MB): with the
+    # data-sized files above, a point query on a 128 MB-row-group table
+    # would decode a whole row group per term — 16 MB keeps the min/max
+    # pruning granularity that serves single-term reads while staying far
+    # above the many-tiny-row-groups regime.  No effect at bench scale
+    # (the whole 100k-doc table is one 14 MB group either way).
+    (shards.write.mode("overwrite")
+     .option("parquet.block.size", 16 * 1024 * 1024)
+     .parquet(paths.shards))
     if postings_cache is not None:
         postings_cache.unpersist()
     t["encode"] = round(time.perf_counter() - t0, 3)
