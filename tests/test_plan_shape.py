@@ -11,6 +11,7 @@ engine scale are asserted, not assumed (the brief's `.explain` discipline):
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from searchenginepp_spark.operators.index_build import build_index
 from searchenginepp_spark.operators.query import Searcher
@@ -48,13 +49,37 @@ def test_search_plan_shape(spark, built):
     assert "partial_sum" in plan
 
 
-def test_scan_prunes_columns(spark, built):
-    """The lexicon join must scan only (term, df), never the blobs."""
+def test_lexicon_slice_driver_side(spark, built):
+    """The query-terms lexicon slice is read driver-side via pyarrow: no
+    lexicon parquet scan appears in the query plan (one Spark job per
+    search call removed), and the slice matches the Spark-filtered read."""
+    s = Searcher(spark, built)
+    df = s.search([(1, "sym1")], k=5)
+    plan = _formatted_plan(df)
+    assert "global_lexicon" not in plan, "lexicon should be read driver-side"
+    got = sorted((r.term, r.df) for r in s._lexicon_slice(["sym1"]).collect())
+    want = sorted((r.term, r.df)
+                  for r in s.lexicon.filter(F.col("term") == "sym1")
+                                    .select("term", "df").collect())
+    assert got == want
+    assert got, "slice must contain the queried term"
+
+
+def test_lexicon_fallback_scan_prunes_columns(spark, built, monkeypatch):
+    """When pyarrow cannot reach the filesystem, the Spark fallback scan
+    must push `term IN (...)` down and read only (term, df), never the
+    blobs."""
+    import pyarrow.dataset as pads
+
+    def _boom(*a, **k):
+        raise OSError("pyarrow unavailable for this filesystem")
+
+    monkeypatch.setattr(pads, "dataset", _boom)
     df = Searcher(spark, built).search([(1, "sym1")], k=5)
     plan = _formatted_plan(df)
     lex_scans = [b for b in plan.split("\n\n")
                  if "Scan parquet" in b and "global_lexicon" in b]
-    assert lex_scans, "lexicon scan missing from plan"
+    assert lex_scans, "fallback lexicon scan missing from plan"
     for b in lex_scans:
         assert "docid_blob" not in b
         assert "ReadSchema: struct<term:string,df:bigint>" in b
