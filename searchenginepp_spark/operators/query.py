@@ -110,8 +110,12 @@ def score_postings(postings: DataFrame, lexicon: DataFrame, qterms: DataFrame,
     postings: (term, docid, tf, doclen) relational form, or any DataFrame
     with those columns (the shard decoder produces the same shape).
     """
+    # broadcast the qterms side: both sides of this join can be statless
+    # local frames (the Searcher's driver-side lexicon slice), which
+    # otherwise plans as a SortMergeJoin with two shuffles of ~|terms| rows;
+    # qterms is tiny by construction at any scale, lexicon may not be
     matched = (
-        qterms.join(lexicon, "term", "inner")  # missing terms drop out here
+        F.broadcast(qterms).join(lexicon, "term", "inner")  # missing terms drop
         .withColumn("idf", F.log2(F.lit(float(n_docs)) / F.col("df")))
     )
     return (
@@ -146,7 +150,7 @@ def topk(scored: DataFrame, qterms: DataFrame, lexicon: DataFrame,
         # must contain every query term.
         n_terms = qterms.groupBy("qid").agg(F.count("*").alias("n_terms"))
         n_found = (
-            qterms.join(lexicon, "term", "inner")
+            F.broadcast(qterms).join(lexicon, "term", "inner")
             .groupBy("qid").agg(F.count("*").alias("n_found"))
         )
         cond = n_terms.join(n_found, "qid", "left").filter(
