@@ -70,3 +70,40 @@ def test_load_corpus_documents_shape(spark):
     b = sorted(r["commit"] for r in load_corpus(
         spark, "/root/testdata/sf0.001/documents.parquet").limit(5).collect())
     assert a == b
+
+
+def test_local_df_values_path(spark):
+    """_local_df builds long/string frames as a SQL inline table
+    (LocalTableScan, zero scheduled jobs per broadcast build) and must
+    round-trip exactly — including SQL-metacharacter strings — and fall
+    back to the parallelize frame for anything the literal path cannot
+    represent."""
+    from searchenginepp_spark.operators.query import _local_df, _values_df
+
+    rows = [(1, "don't"), (2, "a\\b"), (3, "x'y\\"), (4, "unié中"),
+            (5, "plain")]
+    df = _local_df(spark, rows, "qid long, term string")
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    assert sorted((r.qid, r.term) for r in df.collect()) == rows
+    # identical rows to the parallelize path
+    rdd_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1),
+        schema="qid long, term string")
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, rdd_df.collect()))
+
+    # fallbacks: non-long/string schema, None values, oversized lists,
+    # escapedStringLiterals sessions
+    assert _values_df(spark, [(1, 0.5)], "a long, b double") is None
+    assert _values_df(spark, [(1, None)], "a long, b string") is None
+    assert _values_df(spark, [(1, 2 ** 63)], "a long, b long") is None
+    from searchenginepp_spark.operators import query as qmod
+    big = [(i, "t") for i in range(qmod._VALUES_MAX_ROWS + 1)]
+    assert _values_df(spark, big, "a long, b string") is None
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert _values_df(spark, rows, "qid long, term string") is None
+        # _local_df still returns correct rows through the fallback
+        fb = _local_df(spark, rows, "qid long, term string")
+        assert sorted((r.qid, r.term) for r in fb.collect()) == rows
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
